@@ -1,0 +1,140 @@
+"""Command-line interface, mirroring the reference CLI surface.
+
+Same flags as reference ``src/main.rs:29-87``:
+``-W/--width -H/--height -S/--samples -D/--depth -R/--random -P/--preset
+-F/--frames -B/--bvh -O/--offline -X/--print``, same defaults
+(1280x720, 4 spp, depth 10, preset ``two_perlin_spheres``), plus
+TPU-specific flags (``--pallas``, ``--checkpoint``, ``--out``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from pathtrace_tpu.config import Params
+from pathtrace_tpu.models import presets
+from pathtrace_tpu.models.types import SceneFeatures
+from pathtrace_tpu.render import film
+from pathtrace_tpu.render.progressive import render_progressive
+from pathtrace_tpu.utils.debug import print_ray_trace
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pathtrace_tpu", description="TPU-native toy path tracer"
+    )
+    p.add_argument("-W", "--width", type=int, default=1280, help="Image width")
+    p.add_argument("-H", "--height", type=int, default=720, help="Image height")
+    p.add_argument("-S", "--samples", type=int, default=4, help="Samples per pixel")
+    p.add_argument("-D", "--depth", type=int, default=10, help="Max bounces per ray")
+    p.add_argument("-R", "--random", action="store_true", help="Use a random seed")
+    p.add_argument(
+        "-P", "--preset", default="two_perlin_spheres",
+        help=f"Scene preset ({', '.join(presets.names())})",
+    )
+    p.add_argument(
+        "-F", "--frames", type=int, default=None,
+        help="Process a fixed number of frames and exit",
+    )
+    p.add_argument(
+        "-B", "--bvh", action="store_true",
+        help="Use bounding volume hierarchy instead of brute force",
+    )
+    p.add_argument(
+        "-O", "--offline", action="store_true",
+        help="Single-frame offline render (no progressive loop)",
+    )
+    p.add_argument(
+        "-X", "--print", dest="print_trace", action="store_true",
+        help="Debug print a single-ray trace and exit",
+    )
+    # TPU-specific
+    p.add_argument("--pallas", action="store_true", help="Use the Pallas sphere kernel")
+    p.add_argument("--seed", type=int, default=0, help="Base RNG seed")
+    p.add_argument("--out", default="output.png", help="Output PNG path")
+    p.add_argument("--checkpoint", default=None, help="Checkpoint .npz path (resume if exists)")
+    p.add_argument("--snapshot-every", type=int, default=0, help="Write PNG every N frames")
+    return p
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (compiles are 60s+ on TPU)."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "PATHTRACE_JAX_CACHE", os.path.expanduser("~/.cache/pathtrace_tpu_jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
+    params = Params(
+        width=args.width,
+        height=args.height,
+        samples=args.samples,
+        max_depth=args.depth,
+        random_seed=args.random,
+        use_bvh=args.bvh,
+        seed=args.seed,
+    )
+
+    print(
+        f"generating '{args.preset}' preset at {params.width}x{params.height}"
+        f" with {params.samples} samples per pixel"
+    )
+    result = presets.from_name(args.preset, params.aspect, seed=params.seed)
+    if result is None:
+        print(f"unrecognised preset '{args.preset}'", file=sys.stderr)
+        return 2
+    scene, camera = result
+    features = SceneFeatures.from_scene(scene)
+    print(f"scene features: {features}")
+
+    if args.print_trace:
+        print_ray_trace(scene, camera, params.max_depth, seed=params.seed)
+        return 0
+
+    if args.offline:
+        start = time.monotonic()
+        result = render_progressive(
+            scene, camera, params, max_frames=1, features=features,
+            use_pallas=args.pallas,
+        )
+        elapsed = time.monotonic() - start
+        # same offline report shape as reference src/offline.rs:36-41
+        print(
+            f"{elapsed:.2f}secs {result.total_rays}rays "
+            f"{result.total_rays / 1e6 / elapsed:.2f}Mrays/s"
+        )
+        film.save_frame_png(args.out, result.image)
+        print(f"wrote {args.out}")
+        return 0
+
+    # progressive-refinement loop (window analog)
+    result = render_progressive(
+        scene, camera, params,
+        max_frames=args.frames,
+        features=features,
+        use_pallas=args.pallas,
+        checkpoint_path=args.checkpoint,
+        snapshot_path=args.out,
+        snapshot_every=args.snapshot_every,
+    )
+    film.save_frame_png(args.out, result.image)
+    print(f"wrote {args.out} after {result.frames} frames")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""Film output: sRGB conversion and dependency-free PNG writing.
+
+Analog of the reference's offline image path (reference
+``src/offline.rs:43-59``): linear accumulation buffer -> sRGB u8 ->
+vertically-flipped PNG (row y=0 is the bottom of the image during
+rendering). The PNG encoder is ~40 lines over stdlib ``zlib`` — no image
+library dependency.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from pathtrace_tpu.ops.math import linear_to_srgb_f32
+
+
+def to_srgb_u8(img_linear: np.ndarray) -> np.ndarray:
+    """[H, W, 3] linear float -> [H, W, 3] u8 (reference src/math.rs:36-48)."""
+    img = np.asarray(img_linear, dtype=np.float32)
+    srgb = np.asarray(linear_to_srgb_f32(img))
+    return (srgb * 255.99).astype(np.uint8)
+
+
+def write_png(path: str, rgb_u8: np.ndarray) -> None:
+    """Write [H, W, 3] u8 RGB as a PNG file (8-bit, no filtering)."""
+    img = np.asarray(rgb_u8, dtype=np.uint8)
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG reader for round-trip tests (8-bit RGB, filters 0-4)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            assert bit_depth == 8 and color_type == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for row in range(h):
+        ftype = raw[row * (stride + 1)]
+        line = np.frombuffer(
+            raw[row * (stride + 1) + 1 : (row + 1) * (stride + 1)], np.uint8
+        ).astype(np.int32)
+        cur = np.zeros(stride, np.int32)
+        for i in range(stride):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            cur[i] = (line[i] + pred) & 0xFF
+        out[row] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, 3)
+
+
+def save_frame_png(path: str, img_linear: np.ndarray) -> None:
+    """Convert + vertical flip + write, matching reference save order
+    (src/offline.rs:44-47: rows reversed so row 0 = bottom)."""
+    write_png(path, to_srgb_u8(np.asarray(img_linear)[::-1]))

@@ -1,0 +1,106 @@
+"""Frame rendering: primary-ray generation, trace, sample mean, accumulation.
+
+TPU analog of the reference's parallel frame update (reference
+``src/scene.rs:73-121``): the rayon pixel loop becomes one batched program
+over the ``[H, W, S]`` sample grid; the progressive-refinement blend
+``mix_prev = n/(n+1)`` (``src/scene.rs:86-87, 114-116``) is preserved exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtrace_tpu.camera import Camera, get_rays
+from pathtrace_tpu.models.types import Scene, SceneFeatures
+from pathtrace_tpu.render import integrator
+
+
+def generate_primary_rays(camera: Camera, width: int, height: int, samples: int, key):
+    """Jittered primary rays for the full frame.
+
+    Mirrors the reference sampling ``u = (x + U)/W, v = (y + U)/H``
+    (src/scene.rs:107-108) and the thin-lens/time sampling of
+    ``Camera::get_ray``. Row y=0 is the *bottom* of the image (the reference
+    flips rows only at PNG save, src/offline.rs:44-47).
+
+    Returns ro, rd: [H, W, S, 3]; time: [H, W, S].
+    """
+    kj, kc = jax.random.split(key)
+    jitter = jax.random.uniform(kj, (height, width, samples, 2))
+    cam_u = jax.random.uniform(kc, (height, width, samples, 3))
+    x = jnp.arange(width, dtype=jnp.float32)[None, :, None]
+    y = jnp.arange(height, dtype=jnp.float32)[:, None, None]
+    s = (x + jitter[..., 0]) / width
+    t = (y + jitter[..., 1]) / height
+    return get_rays(camera, s, t, cam_u)
+
+
+def render_frame(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    samples: int,
+    max_depth: int,
+    key,
+    sphere_nearest_fn=None,
+    differentiable: bool = False,
+    features: SceneFeatures = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Render one frame. Returns (image [H, W, 3] linear RGB, ray_count []).
+
+    ``differentiable=True`` uses the scan-based integrator (for jax.grad);
+    otherwise the early-exit while_loop renderer.
+    """
+    kray, ktrace = jax.random.split(key)
+    ro, rd, time = generate_primary_rays(camera, width, height, samples, kray)
+    R = height * width * samples
+    ro = ro.reshape(R, 3)
+    rd = rd.reshape(R, 3)
+    time = time.reshape(R)
+
+    trace_fn = integrator.trace_diff if differentiable else integrator.trace
+    radiance, ray_count = trace_fn(
+        scene, ro, rd, time, ktrace, max_depth,
+        sphere_nearest_fn=sphere_nearest_fn, features=features,
+    )
+    img = radiance.reshape(height, width, samples, 3).mean(axis=2)
+    return img, ray_count
+
+
+def accumulate(acc_image, new_image, frame_num):
+    """Progressive blend: acc*n/(n+1) + new/(n+1) (reference src/scene.rs:86-87)."""
+    n = frame_num.astype(new_image.dtype) if hasattr(frame_num, "astype") else jnp.float32(frame_num)
+    mix_prev = n / (n + 1.0)
+    return acc_image * mix_prev + new_image * (1.0 - mix_prev)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "samples", "max_depth", "use_pallas", "features"),
+)
+def render_frame_jit(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    samples: int,
+    max_depth: int,
+    key,
+    use_pallas: bool = False,
+    features: SceneFeatures = None,
+):
+    """Jitted whole-frame render, optionally with the Pallas sphere kernel."""
+    fn = None
+    if use_pallas:
+        from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
+
+        fn = sphere_nearest_pallas
+    return render_frame(
+        scene, camera, width, height, samples, max_depth, key,
+        sphere_nearest_fn=fn, features=features,
+    )

