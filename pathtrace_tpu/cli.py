@@ -109,7 +109,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         start = time.monotonic()
         result = render_progressive(
             scene, camera, params, max_frames=1, features=features,
-            use_pallas=args.pallas,
+            use_pallas=args.pallas, use_bvh=args.bvh,
         )
         elapsed = time.monotonic() - start
         # same offline report shape as reference src/offline.rs:36-41
@@ -127,6 +127,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         max_frames=args.frames,
         features=features,
         use_pallas=args.pallas,
+        use_bvh=args.bvh,
         checkpoint_path=args.checkpoint,
         snapshot_path=args.out,
         snapshot_every=args.snapshot_every,

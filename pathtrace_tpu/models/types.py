@@ -50,9 +50,18 @@ MEDIUM_SPHERE = 1
 
 
 def _pytree_dataclass(cls):
-    """Register a dataclass as a JAX pytree with all fields as children."""
+    """Register a dataclass as a JAX pytree with named (keyed) children."""
     cls = dataclasses.dataclass(cls)
     fields = [f.name for f in dataclasses.fields(cls)]
+
+    def flatten_with_keys(obj):
+        return (
+            tuple(
+                (jax.tree_util.GetAttrKey(name), getattr(obj, name))
+                for name in fields
+            ),
+            None,
+        )
 
     def flatten(obj):
         return tuple(getattr(obj, name) for name in fields), None
@@ -60,7 +69,7 @@ def _pytree_dataclass(cls):
     def unflatten(_, children):
         return cls(*children)
 
-    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    jax.tree_util.register_pytree_with_keys(cls, flatten_with_keys, unflatten, flatten)
     return cls
 
 

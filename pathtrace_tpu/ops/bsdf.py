@@ -96,7 +96,8 @@ def scatter(scene: Scene, rec: HitRecord, ray_dir, uniforms,
         # the reference's exit-side cosine folds the IOR in
         # (src/material.rs:100-103)
         cos_exit_sq = 1.0 - ref_idx * ref_idx * (1.0 - cos_in * cos_in)
-        cosine = jnp.where(exiting, jnp.sqrt(jnp.maximum(cos_exit_sq, 0.0)), cos_in)
+        safe_sq = jnp.where(cos_exit_sq > 0.0, cos_exit_sq, 1.0)  # NaN-free AD
+        cosine = jnp.where(exiting, jnp.sqrt(safe_sq), cos_in)
         refr, refr_ok = pmath.refract(d, outward_n, ni_over_nt)
         reflect_prob = jnp.where(refr_ok, pmath.schlick(cosine, ref_idx), 1.0)
         take_refract = u_choice > jax.lax.stop_gradient(reflect_prob)

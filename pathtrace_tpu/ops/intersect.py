@@ -101,7 +101,9 @@ def sphere_nearest(spheres: Spheres, ro, rd, time, t_min=MIN_T, t_max=MAX_T,
 
     disc = b * b - a * c
     valid = (disc > 0.0) & spheres.mask[None, :]
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # "double-where" guard: sqrt at clamped-0 has an infinite derivative that
+    # would poison reverse-mode AD through the miss lanes
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
     inv_a = 1.0 / a
     t0 = (-b - sq) * inv_a
     t1 = (-b + sq) * inv_a
@@ -116,12 +118,14 @@ def sphere_nearest(spheres: Spheres, ro, rd, time, t_min=MIN_T, t_max=MAX_T,
 
 def sphere_record(spheres: Spheres, t, idx, ro, rd, time) -> HitRecord:
     """Build the hit record for winning sphere indices (gathers, O(R))."""
+    hit = t < _INF
+    t_safe = jnp.where(hit, t, 0.0)  # keep miss lanes finite for AD
     c0 = spheres.center[idx]
     delta = spheres.center_delta[idx]
     s = (time - spheres.time0[idx]) * spheres.inv_time_delta[idx]
     center = c0 + s[..., None] * delta
     radius = spheres.radius[idx]
-    point = ro + t[..., None] * rd
+    point = ro + t_safe[..., None] * rd
     # signed radius flips the normal for hollow shells (reference
     # src/collision/sphere.rs:45, src/presets.rs:265)
     normal = (point - center) / radius[..., None]
@@ -166,6 +170,9 @@ def rect_nearest(rects: Rects, ro, rd, t_min=MIN_T, t_max=MAX_T):
     o_b = ro[..., b_axis]
     d_b = rd[..., b_axis]
 
+    # guard axis-parallel rays (d_n == 0): inf t is masked out below, but the
+    # division must stay NaN-free for reverse-mode AD
+    d_n = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
     t = (rects.k[None, :] - o_n) / d_n                  # [R,N]
     pa = o_a + t * d_a
     pb = o_b + t * d_b
@@ -185,10 +192,12 @@ def rect_nearest(rects: Rects, ro, rd, t_min=MIN_T, t_max=MAX_T):
 
 
 def rect_record(rects: Rects, t, idx, ro, rd) -> HitRecord:
+    hit = t < _INF
+    t_safe = jnp.where(hit, t, 0.0)
     axis = rects.axis[idx]                              # [R]
     a_axis = jnp.where(axis == 0, 1, 0)
     b_axis = jnp.where(axis == 2, 1, 2)
-    point = ro + t[..., None] * rd
+    point = ro + t_safe[..., None] * rd
     pa = jnp.take_along_axis(point, a_axis[..., None], axis=-1)[..., 0]
     pb = jnp.take_along_axis(point, b_axis[..., None], axis=-1)[..., 0]
     a0, a1 = rects.a0[idx], rects.a1[idx]
@@ -226,7 +235,8 @@ def _slab_interval(p0, p1, ro_o, rd_o):
 
     Returns (t_enter, t_exit, enter_axis, exit_axis).
     """
-    rcp = 1.0 / rd_o                                    # [R,N,3] (inf-safe: IEEE)
+    rd_o = jnp.where(jnp.abs(rd_o) < 1e-12, 1e-12, rd_o)  # NaN-free AD
+    rcp = 1.0 / rd_o                                    # [R,N,3]
     d0 = (p0[None] - ro_o) * rcp
     d1 = (p1[None] - ro_o) * rcp
     tn = jnp.minimum(d0, d1)                            # [R,N,3]
@@ -257,11 +267,14 @@ def box_nearest(boxes: Boxes, ro, rd, t_min=MIN_T, t_max=MAX_T):
 
 
 def box_record(boxes: Boxes, t, idx, ro, rd) -> HitRecord:
+    hit = t < _INF
+    t_safe = jnp.where(hit, t, 0.0)
     # redo the slab test only for the winning box of each ray ([R] work)
     lin_ofw = boxes.obj_from_world[idx]                 # [R,3,3+1]
     ro_o = jnp.einsum("rij,rj->ri", lin_ofw[:, :, :3], ro) + lin_ofw[:, :, 3]
     rd_o = jnp.einsum("rij,rj->ri", lin_ofw[:, :, :3], rd)
     p0, p1 = boxes.p0[idx], boxes.p1[idx]
+    rd_o = jnp.where(jnp.abs(rd_o) < 1e-12, 1e-12, rd_o)
     rcp = 1.0 / rd_o
     d0 = (p0 - ro_o) * rcp
     d1 = (p1 - ro_o) * rcp
@@ -270,7 +283,7 @@ def box_record(boxes: Boxes, t, idx, ro, rd) -> HitRecord:
     t_enter = jnp.max(tn, axis=-1)
     enter_axis = jnp.argmax(tn, axis=-1)
     exit_axis = jnp.argmin(tf, axis=-1)
-    is_entry = jnp.abs(t - t_enter) < 1e-4 * jnp.maximum(jnp.abs(t), 1.0)
+    is_entry = jnp.abs(t_safe - t_enter) < 1e-4 * jnp.maximum(jnp.abs(t_safe), 1.0)
     face_axis = jnp.where(is_entry, enter_axis, exit_axis)
     # outward normal: entry face opposes the ray, exit face follows it
     sign_d = jnp.sign(jnp.take_along_axis(rd_o, face_axis[..., None], axis=-1)[..., 0])
@@ -281,9 +294,9 @@ def box_record(boxes: Boxes, t, idx, ro, rd) -> HitRecord:
     )
     lin_wfo = boxes.world_from_obj[idx][:, :, :3]
     normal = jnp.einsum("rij,rj->ri", lin_wfo, normal_obj)
-    point = ro + t[..., None] * rd
+    point = ro + t_safe[..., None] * rd
     # face u/v per the rect parameterization of that face
-    p_obj = ro_o + t[..., None] * rd_o
+    p_obj = ro_o + t_safe[..., None] * rd_o
     a_axis = jnp.where(face_axis == 0, 1, 0)
     b_axis = jnp.where(face_axis == 2, 1, 2)
     ga = lambda arr, ax: jnp.take_along_axis(arr, ax[..., None], axis=-1)[..., 0]
@@ -291,7 +304,7 @@ def box_record(boxes: Boxes, t, idx, ro, rd) -> HitRecord:
     v = (ga(p_obj, b_axis) - ga(p0, b_axis)) / (ga(p1, b_axis) - ga(p0, b_axis))
     return HitRecord(
         t=t, point=point, normal=normal, u=u, v=v,
-        mat_id=boxes.mat_id[idx], hit=t < _INF,
+        mat_id=boxes.mat_id[idx], hit=hit,
     )
 
 
@@ -316,7 +329,7 @@ def media_nearest(media: Media, ro, rd, uniforms, t_min=MIN_T, t_max=MAX_T):
     b = jnp.sum(oc * rd[:, None, :], axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - (media.radius * media.radius)[None]
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
     t_enter_s = (-b - sq) / a
     t_exit_s = (-b + sq) / a
     sph_crosses = disc > 0.0
@@ -343,7 +356,9 @@ def media_nearest(media: Media, ro, rd, uniforms, t_min=MIN_T, t_max=MAX_T):
 
 
 def media_record(media: Media, t, idx, ro, rd) -> HitRecord:
-    point = ro + t[..., None] * rd
+    hit = t < _INF
+    t_safe = jnp.where(hit, t, 0.0)
+    point = ro + t_safe[..., None] * rd
     # arbitrary normal, unused by the isotropic phase function
     # (reference src/collision/constant_medium.rs:66)
     normal = jnp.broadcast_to(
@@ -352,7 +367,7 @@ def media_record(media: Media, t, idx, ro, rd) -> HitRecord:
     zeros = jnp.zeros(t.shape, t.dtype)
     return HitRecord(
         t=t, point=point, normal=normal, u=zeros, v=zeros,
-        mat_id=media.mat_id[idx], hit=t < _INF,
+        mat_id=media.mat_id[idx], hit=hit,
     )
 
 

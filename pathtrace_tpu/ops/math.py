@@ -46,7 +46,9 @@ def refract(v, n, ni_over_nt):
     dt = dot(v, n)
     disc = 1.0 - (ni_over_nt * ni_over_nt) * (1.0 - dt * dt)
     ok = (disc > 0.0)[..., 0]
-    safe_disc = jnp.maximum(disc, 0.0)
+    # double-where: sqrt'(0) is infinite and would poison reverse-mode AD
+    # through the TIR lanes even though they are masked out downstream
+    safe_disc = jnp.where(disc > 0.0, disc, 1.0)
     refr = ni_over_nt * (v - n * dt) - n * jnp.sqrt(safe_disc)
     return refr, ok
 

@@ -1,0 +1,155 @@
+"""Differentiable inverse rendering: optimize scene parameters to match a
+target image, data-parallel across a device mesh.
+
+This is the BASELINE.json north-star "training loop": the forward pass is the
+differentiable wavefront render (``trace_diff``), the loss is image MSE, and
+scene-parameter gradients flow through hit points, normals, BSDFs and
+textures. Ray/sample shards run per chip; the shard_map transpose inserts the
+gradient all-reduce over ICI automatically (the ``psum`` of replicated-input
+cotangents) — overlapped by XLA with the backward sweep.
+
+Optimizable leaves (by default): sphere centers/radii, texture colors,
+material fuzz/IOR, Perlin gradients. Integer ids, masks and topology stay
+fixed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pathtrace_tpu.camera import Camera
+from pathtrace_tpu.models.types import Scene, SceneFeatures
+from pathtrace_tpu.parallel import mesh as pmesh
+
+
+# default trainable leaf selector: (path string) -> bool
+def default_trainable(path: str) -> bool:
+    return any(
+        s in path
+        for s in (
+            "spheres.center",
+            "spheres.radius",
+            "textures.color",
+            "materials.fuzz",
+            "materials.ref_idx",
+        )
+    )
+
+
+def _leaf_paths(scene: Scene):
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(scene)
+    paths = [
+        ".".join(
+            str(getattr(k, "name", getattr(k, "idx", k))) for k in path
+        )
+        for path, _ in leaves
+    ]
+    return paths, [leaf for _, leaf in leaves], treedef
+
+
+def split_scene(scene: Scene, trainable: Callable[[str], bool] = default_trainable):
+    """Split a scene into (trainable params pytree-list, rebuild closure)."""
+    paths, leaves, treedef = _leaf_paths(scene)
+    train_idx = [i for i, p in enumerate(paths) if trainable(p)]
+    params = [leaves[i] for i in train_idx]
+    frozen = list(leaves)
+
+    def rebuild(params_list):
+        merged = list(frozen)
+        for slot, i in enumerate(train_idx):
+            merged[i] = params_list[slot]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    names = [paths[i] for i in train_idx]
+    return params, rebuild, names
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(eq=False)  # id-hashable: instances are static under jit
+class InverseRenderer:
+    """Inverse-rendering problem bound to a camera/film/mesh configuration."""
+
+    camera: Camera
+    width: int
+    height: int
+    samples: int
+    max_depth: int
+    mesh: Any  # jax.sharding.Mesh
+    features: SceneFeatures
+    rebuild: Callable[[Any], Scene]
+    optimizer: Any = None
+    learning_rate: float = 2e-2
+
+    def __post_init__(self):
+        if self.optimizer is None:
+            self.optimizer = optax.adam(self.learning_rate)
+
+    def render(self, params, key):
+        scene = self.rebuild(params)
+        img, _ = pmesh.render_frame_sharded(
+            scene, self.camera, self.width, self.height, self.samples,
+            self.max_depth, key, self.mesh, features=self.features,
+            differentiable=True,
+        )
+        return img
+
+    def loss(self, params, target, key):
+        img = self.render(params, key)
+        return jnp.mean((img - target) ** 2)
+
+    def init(self, params) -> TrainState:
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.int32(0),
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, target, key) -> Tuple[TrainState, jnp.ndarray]:
+        """One optimization step: differentiable sharded render -> MSE ->
+        grads (all-reduced across the mesh by the shard_map transpose) ->
+        adam update."""
+        loss_val, grads = jax.value_and_grad(self.loss)(state.params, target, key)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss_val
+
+
+def make_inverse_renderer(
+    scene: Scene,
+    camera: Camera,
+    width: int,
+    height: int,
+    samples: int = 4,
+    max_depth: int = 4,
+    mesh=None,
+    trainable: Callable[[str], bool] = default_trainable,
+    learning_rate: float = 2e-2,
+):
+    """Build (renderer, initial TrainState, trainable-leaf names)."""
+    mesh = mesh or pmesh.make_render_mesh()
+    features = SceneFeatures.from_scene(scene)
+    params, rebuild, names = split_scene(scene, trainable)
+    renderer = InverseRenderer(
+        camera=camera,
+        width=width,
+        height=height,
+        samples=samples,
+        max_depth=max_depth,
+        mesh=mesh,
+        features=features,
+        rebuild=rebuild,
+        learning_rate=learning_rate,
+    )
+    return renderer, renderer.init(params), names

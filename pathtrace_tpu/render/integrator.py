@@ -116,17 +116,18 @@ def _bounce(
 
 
 def _initial_state(ro, rd, time) -> WavefrontState:
-    shape = time.shape
-    dt = ro.dtype
+    # derive every carry from the ray inputs so the sharding "varying" type
+    # matches the loop body under shard_map manual mode
+    zero3 = ro * 0.0
     return WavefrontState(
         depth=jnp.int32(0),
         ro=ro,
         rd=rd,
         time=time,
-        radiance=jnp.zeros(shape + (3,), dt),
-        throughput=jnp.ones(shape + (3,), dt),
-        alive=jnp.ones(shape, bool),
-        ray_count=jnp.int32(0),
+        radiance=zero3,
+        throughput=zero3 + 1.0,
+        alive=time == time,  # all True, varying like `time`
+        ray_count=jnp.sum(time * 0.0).astype(jnp.int32),
     )
 
 

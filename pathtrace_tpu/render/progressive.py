@@ -25,7 +25,7 @@ from pathtrace_tpu.camera import Camera
 from pathtrace_tpu.config import Params
 from pathtrace_tpu.models.types import Scene, SceneFeatures
 from pathtrace_tpu.render import film
-from pathtrace_tpu.render.frame import accumulate, render_frame_jit
+from pathtrace_tpu.render.frame import accumulate, render_frame
 from pathtrace_tpu.utils import checkpoint as ckpt
 from pathtrace_tpu.utils.profiling import RollingMraysMeter
 
@@ -44,6 +44,7 @@ def render_progressive(
     max_frames: Optional[int] = None,
     features: Optional[SceneFeatures] = None,
     use_pallas: bool = False,
+    use_bvh: bool = False,
     on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
@@ -59,7 +60,33 @@ def render_progressive(
     seed = params.resolve_seed()
     base_key = jax.random.PRNGKey(seed)
     features = features or SceneFeatures.all_on()
+
+    sphere_nearest_fn = None
+    if use_bvh or params.use_bvh:
+        # -B analog: build the BVH host-side, print its census
+        # (reference src/params.rs:36-43 dbg!(get_stats()))
+        from pathtrace_tpu.models import bvh as pbvh
+
+        mn, mx = pbvh.sphere_aabbs(scene.spheres)
+        flat, stats = pbvh.build_flat_bvh(mn, mx, mask=scene.spheres.mask, seed=seed)
+        log(f"bvh stats: {stats}")
+        flat = jax.device_put(flat)
+        sphere_nearest_fn = pbvh.make_bvh_sphere_nearest(flat)
+
     scene = jax.device_put(scene)
+
+    if use_pallas and sphere_nearest_fn is None:
+        from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
+
+        sphere_nearest_fn = sphere_nearest_pallas
+
+    @jax.jit
+    def frame_fn(scene_arg, key):
+        return render_frame(
+            scene_arg, camera, params.width, params.height, params.samples,
+            params.max_depth, key,
+            sphere_nearest_fn=sphere_nearest_fn, features=features,
+        )
 
     start_frame = 0
     acc = None
@@ -79,10 +106,7 @@ def render_progressive(
 
     while end_frame is None or frame < end_frame:
         key = jax.random.fold_in(base_key, frame)
-        img, rays = render_frame_jit(
-            scene, camera, params.width, params.height, params.samples,
-            params.max_depth, key, use_pallas=use_pallas, features=features,
-        )
+        img, rays = frame_fn(scene, key)
         acc = img if acc is None else accumulate(acc, img, frame)
         rays = int(rays)  # device sync point for this frame
         total_rays += rays

@@ -1,0 +1,85 @@
+"""Pallas sphere kernel vs the jnp reference (interpret mode on CPU).
+
+The reference validated its SIMD kernels by benching scalar/SSE4.1/AVX2
+variants against each other (reference spheres_soa.rs:464-485); here the
+Pallas kernel is checked against the jnp brute force exactly
+(SURVEY.md §4: interpret-mode kernel tests).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtrace_tpu.models import presets
+from pathtrace_tpu.ops.intersect import sphere_nearest
+from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
+
+
+def random_rays(n, seed=0, spread=20.0):
+    ro = jax.random.uniform(jax.random.PRNGKey(seed), (n, 3)) * spread - spread / 2
+    d = jax.random.normal(jax.random.PRNGKey(seed + 1), (n, 3))
+    rd = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return ro, rd
+
+
+class TestStaticKernel:
+    def test_matches_jnp_on_cover_scene(self):
+        scene, _ = presets.random_spheres(aspect=1.0)
+        ro, rd = random_rays(512)
+        tm = jnp.zeros(512)
+        t_ref, i_ref = sphere_nearest(scene.spheres, ro, rd, tm, has_motion=False)
+        t_pal, i_pal = sphere_nearest_pallas(scene.spheres, ro, rd, tm, has_motion=False)
+        t_ref, t_pal = np.asarray(t_ref), np.asarray(t_pal)
+        hit = t_ref < 1e30
+        np.testing.assert_array_equal(hit, np.asarray(t_pal) < 1e30)
+        np.testing.assert_allclose(t_ref[hit], t_pal[hit], rtol=1e-3, atol=1e-4)
+        assert (np.asarray(i_ref) == np.asarray(i_pal))[hit].mean() > 0.999
+
+    def test_ragged_ray_count(self):
+        # R not a multiple of the 256-ray tile: padding path
+        scene, _ = presets.small(aspect=1.0)
+        ro, rd = random_rays(100, seed=7, spread=6.0)
+        tm = jnp.zeros(100)
+        t_ref, _ = sphere_nearest(scene.spheres, ro, rd, tm, has_motion=False)
+        t_pal, _ = sphere_nearest_pallas(scene.spheres, ro, rd, tm, has_motion=False)
+        np.testing.assert_allclose(
+            np.asarray(t_ref), np.asarray(t_pal), rtol=1e-3, atol=1e-4
+        )
+
+
+class TestMovingKernel:
+    def test_matches_jnp_with_motion(self):
+        scene, _ = presets.random(aspect=1.0)
+        ro, rd = random_rays(256, seed=3)
+        tm = jax.random.uniform(jax.random.PRNGKey(9), (256,))
+        t_ref, i_ref = sphere_nearest(scene.spheres, ro, rd, tm, has_motion=True)
+        t_pal, i_pal = sphere_nearest_pallas(scene.spheres, ro, rd, tm, has_motion=True)
+        t_ref, t_pal = np.asarray(t_ref), np.asarray(t_pal)
+        hit = t_ref < 1e30
+        np.testing.assert_array_equal(hit, np.asarray(t_pal) < 1e30)
+        np.testing.assert_allclose(t_ref[hit], t_pal[hit], rtol=1e-3, atol=1e-3)
+
+
+class TestKernelGradients:
+    def test_custom_vjp_matches_jnp_grad(self):
+        scene, _ = presets.small(aspect=1.0)
+        ro, rd = random_rays(64, seed=5, spread=6.0)
+        tm = jnp.zeros(64)
+
+        def loss_pal(spheres):
+            t, _ = sphere_nearest_pallas(spheres, ro, rd, tm, has_motion=False)
+            return jnp.sum(jnp.where(t < 1e30, t, 0.0))
+
+        def loss_ref(spheres):
+            t, _ = sphere_nearest(spheres, ro, rd, tm, has_motion=False)
+            return jnp.sum(jnp.where(t < 1e30, t, 0.0))
+
+        g_pal = jax.grad(loss_pal, allow_int=True)(scene.spheres)
+        g_ref = jax.grad(loss_ref, allow_int=True)(scene.spheres)
+        np.testing.assert_allclose(
+            np.asarray(g_pal.center), np.asarray(g_ref.center), rtol=1e-2, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_pal.radius), np.asarray(g_ref.radius), rtol=1e-2, atol=1e-3
+        )
