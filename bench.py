@@ -47,11 +47,16 @@ def main() -> int:
     except Exception:
         use_pallas = False
 
+    # fixed-size chunked launches keep the compiled program independent of
+    # film size (compile once, render any resolution) and let finished
+    # chunks early-exit the bounce sweep independently
+    ray_chunk = 1 << 19
+
     def run(frame):
         key = jax.random.PRNGKey(frame)
         img, rays = render_frame_jit(
             scene, camera, width, height, samples, max_depth, key,
-            use_pallas=use_pallas, features=features,
+            use_pallas=use_pallas, features=features, ray_chunk=ray_chunk,
         )
         return img, rays
 

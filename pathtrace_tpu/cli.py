@@ -59,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", default="output.png", help="Output PNG path")
     p.add_argument("--checkpoint", default=None, help="Checkpoint .npz path (resume if exists)")
     p.add_argument("--snapshot-every", type=int, default=0, help="Write PNG every N frames")
+    p.add_argument(
+        "--profile-dir", default=None,
+        help="Capture a jax.profiler trace of the render into this directory",
+    )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="Initialize jax.distributed for multi-host execution "
+             "(reads JAX coordinator env vars)",
+    )
     return p
 
 
@@ -79,6 +88,25 @@ def _enable_compilation_cache() -> None:
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     _enable_compilation_cache()
+
+    if args.distributed:
+        # multi-host: same program on every host; JAX wires the pod together
+        # (SURVEY.md §5 distributed design)
+        import jax
+
+        jax.distributed.initialize()
+
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            rc = _run(args)
+        print(f"profiler trace written to {args.profile_dir}")
+        return rc
+    return _run(args)
+
+
+def _run(args) -> int:
     params = Params(
         width=args.width,
         height=args.height,

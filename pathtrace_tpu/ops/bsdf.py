@@ -101,9 +101,7 @@ def scatter(scene: Scene, rec: HitRecord, ray_dir, uniforms,
         refr, refr_ok = pmath.refract(d, outward_n, ni_over_nt)
         reflect_prob = jnp.where(refr_ok, pmath.schlick(cosine, ref_idx), 1.0)
         take_refract = u_choice > jax.lax.stop_gradient(reflect_prob)
-        diel_dir = pmath.normalize(
-            jnp.where(take_refract[..., None], refr, pmath.reflect(d, n))
-        )
+        diel_dir = jnp.where(take_refract[..., None], refr, pmath.reflect(d, n))
         direction = jnp.where(is_diel[..., None], diel_dir, direction)
 
     if f.has_metal:
@@ -112,17 +110,18 @@ def scatter(scene: Scene, rec: HitRecord, ray_dir, uniforms,
         # *unfuzzed* reflection)
         reflected = pmath.reflect(d, n)
         metal_ok = pmath.dot(reflected, n, keepdims=False) > 0.0
-        metal_dir = pmath.normalize(
-            reflected + fuzz[..., None] * pmath.random_in_unit_sphere(u1, u2, u3)
-        )
+        metal_dir = reflected + fuzz[..., None] * pmath.random_in_unit_sphere(u1, u2, u3)
         direction = jnp.where(is_metal[..., None], metal_dir, direction)
         ok = jnp.where(is_metal, metal_ok, ok)
 
     if f.has_lambertian:
         # --- Lambertian: normalize(normal + random_unit_vector)
         # (reference src/material.rs:52-67)
-        lam_dir = pmath.normalize(n + unit_vec)
-        direction = jnp.where(is_lam[..., None], lam_dir, direction)
+        direction = jnp.where(is_lam[..., None], n + unit_vec, direction)
+
+    # single normalize after the lobe select (each branch produced an
+    # unnormalized direction; normalize(select(...)) == select(normalize(...)))
+    direction = pmath.normalize(direction)
 
     white = jnp.ones_like(tex_rgb)
     attenuation = jnp.where(is_diel[..., None], white, tex_rgb) if f.has_dielectric else tex_rgb

@@ -116,7 +116,8 @@ def sphere_nearest(spheres: Spheres, ro, rd, time, t_min=MIN_T, t_max=MAX_T,
     return t, idx.astype(jnp.int32)
 
 
-def sphere_record(spheres: Spheres, t, idx, ro, rd, time) -> HitRecord:
+def sphere_record(spheres: Spheres, t, idx, ro, rd, time,
+                  with_uv: bool = True) -> HitRecord:
     """Build the hit record for winning sphere indices (gathers, O(R))."""
     hit = t < _INF
     t_safe = jnp.where(hit, t, 0.0)  # keep miss lanes finite for AD
@@ -129,13 +130,19 @@ def sphere_record(spheres: Spheres, t, idx, ro, rd, time) -> HitRecord:
     # signed radius flips the normal for hollow shells (reference
     # src/collision/sphere.rs:45, src/presets.rs:265)
     normal = (point - center) / radius[..., None]
-    # sphere UV from the unit normal (reference src/material.rs:41-49):
-    # phi = atan2(x, y), theta = asin(y) — note the reference's argument
-    # order; computed unconditionally here (non-image textures ignore it).
-    phi = jnp.arctan2(normal[..., 0], normal[..., 1])
-    theta = jnp.arcsin(jnp.clip(normal[..., 1], -1.0, 1.0))
-    u = 1.0 - (phi + _PI) * _INV_2PI
-    v = (theta + _HALF_PI) * _INV_PI
+    if with_uv:
+        # sphere UV from the unit normal (reference src/material.rs:41-49):
+        # phi = atan2(x, y), theta = asin(y) — the reference's argument
+        # order. Only image textures consume sphere UV (the reference
+        # computes it only then too, src/material.rs:169-180), so callers
+        # skip these transcendentals when the scene has no image textures.
+        phi = jnp.arctan2(normal[..., 0], normal[..., 1])
+        theta = jnp.arcsin(jnp.clip(normal[..., 1], -1.0, 1.0))
+        u = 1.0 - (phi + _PI) * _INV_2PI
+        v = (theta + _HALF_PI) * _INV_PI
+    else:
+        u = jnp.zeros(t.shape, t.dtype)
+        v = u
     return HitRecord(
         t=t,
         point=point,
@@ -428,7 +435,9 @@ def intersect_scene(
         sp_t, sp_i = sfn(
             scene.spheres, ro, rd, time, t_min, t_max, has_motion=f.has_motion
         )
-        rec = sphere_record(scene.spheres, sp_t, sp_i, ro, rd, time)
+        rec = sphere_record(
+            scene.spheres, sp_t, sp_i, ro, rd, time, with_uv=f.has_image
+        )
     if f.has_rects:
         re_t, re_i = rect_nearest(scene.rects, ro, rd, t_min, t_max)
         nxt = rect_record(scene.rects, re_t, re_i, ro, rd)

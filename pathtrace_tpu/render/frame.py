@@ -50,11 +50,18 @@ def render_frame(
     sphere_nearest_fn=None,
     differentiable: bool = False,
     features: SceneFeatures = None,
+    ray_chunk: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one frame. Returns (image [H, W, 3] linear RGB, ray_count []).
 
     ``differentiable=True`` uses the scan-based integrator (for jax.grad);
     otherwise the early-exit while_loop renderer.
+
+    ``ray_chunk > 0`` sweeps the wavefront in fixed-size launches via
+    ``lax.map``: the trace program is compiled once for the chunk shape and
+    reused for any film size — compile time stays flat as resolution grows,
+    and per-chunk early exit kicks in sooner than whole-frame early exit
+    (a partial stream-compaction effect: finished chunks stop bouncing).
     """
     kray, ktrace = jax.random.split(key)
     ro, rd, time = generate_primary_rays(camera, width, height, samples, kray)
@@ -64,10 +71,50 @@ def render_frame(
     time = time.reshape(R)
 
     trace_fn = integrator.trace_diff if differentiable else integrator.trace
-    radiance, ray_count = trace_fn(
-        scene, ro, rd, time, ktrace, max_depth,
-        sphere_nearest_fn=sphere_nearest_fn, features=features,
-    )
+
+    if ray_chunk and ray_chunk < R:
+        # pad to a chunk multiple so ONE chunk-shaped program serves every
+        # film size; padded lanes are born dead (NaN time fails the
+        # `time == time` liveness init) so they cost no ray-count and no
+        # bounces. The differentiable path instead aliases ray 0 — NaN
+        # forward values would poison reverse-mode AD.
+        Rp = ((R + ray_chunk - 1) // ray_chunk) * ray_chunk
+        if Rp != R:
+            pad = Rp - R
+            pad_time = jnp.nan if not differentiable else time[0]
+            ro = jnp.concatenate([ro, jnp.broadcast_to(ro[:1], (pad, 3))], axis=0)
+            rd = jnp.concatenate([rd, jnp.broadcast_to(rd[:1], (pad, 3))], axis=0)
+            time = jnp.concatenate(
+                [time, jnp.full((pad,), pad_time, time.dtype)], axis=0
+            )
+        n_chunks = Rp // ray_chunk
+
+        def chunk_body(args):
+            ro_c, rd_c, time_c, idx = args
+            # decorrelate chunks: same lane in different chunks must not
+            # share its random sequence
+            ck = jax.random.fold_in(ktrace, idx)
+            return trace_fn(
+                scene, ro_c, rd_c, time_c, ck, max_depth,
+                sphere_nearest_fn=sphere_nearest_fn, features=features,
+            )
+
+        radiance, counts = jax.lax.map(
+            chunk_body,
+            (
+                ro.reshape(n_chunks, ray_chunk, 3),
+                rd.reshape(n_chunks, ray_chunk, 3),
+                time.reshape(n_chunks, ray_chunk),
+                jnp.arange(n_chunks, dtype=jnp.int32),
+            ),
+        )
+        radiance = radiance.reshape(-1, 3)[:R]
+        ray_count = jnp.sum(counts)
+    else:
+        radiance, ray_count = trace_fn(
+            scene, ro, rd, time, ktrace, max_depth,
+            sphere_nearest_fn=sphere_nearest_fn, features=features,
+        )
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)
     return img, ray_count
 
@@ -81,7 +128,10 @@ def accumulate(acc_image, new_image, frame_num):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "samples", "max_depth", "use_pallas", "features"),
+    static_argnames=(
+        "width", "height", "samples", "max_depth", "use_pallas", "features",
+        "ray_chunk",
+    ),
 )
 def render_frame_jit(
     scene: Scene,
@@ -93,6 +143,7 @@ def render_frame_jit(
     key,
     use_pallas: bool = False,
     features: SceneFeatures = None,
+    ray_chunk: int = 0,
 ):
     """Jitted whole-frame render, optionally with the Pallas sphere kernel."""
     fn = None
@@ -102,5 +153,5 @@ def render_frame_jit(
         fn = sphere_nearest_pallas
     return render_frame(
         scene, camera, width, height, samples, max_depth, key,
-        sphere_nearest_fn=fn, features=features,
+        sphere_nearest_fn=fn, features=features, ray_chunk=ray_chunk,
     )

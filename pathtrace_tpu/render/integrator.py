@@ -126,8 +126,9 @@ def _initial_state(ro, rd, time) -> WavefrontState:
         time=time,
         radiance=zero3,
         throughput=zero3 + 1.0,
-        alive=time == time,  # all True, varying like `time`
-        ray_count=jnp.sum(time * 0.0).astype(jnp.int32),
+        alive=time == time,  # True unless NaN-padded (born-dead lanes)
+        # NaN-safe varying zero (sum(time*0) would be NaN for padded lanes)
+        ray_count=jnp.sum((time == time).astype(jnp.int32)) * 0,
     )
 
 

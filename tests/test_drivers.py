@@ -1,0 +1,134 @@
+"""Driver tests: CLI parsing, film io, checkpoint/resume, progressive loop,
+debug trace (reference main.rs / offline.rs / glium_window.rs parity)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pathtrace_tpu.cli import build_parser, main
+from pathtrace_tpu.config import Params
+from pathtrace_tpu.models import presets
+from pathtrace_tpu.render import film
+from pathtrace_tpu.render.progressive import render_progressive
+from pathtrace_tpu.utils import checkpoint as ckpt
+from pathtrace_tpu.utils.profiling import RenderStats, RollingMraysMeter
+
+
+class TestCliParser:
+    def test_reference_defaults(self):
+        # same defaults as reference src/main.rs:79-87
+        a = build_parser().parse_args([])
+        assert (a.width, a.height, a.samples, a.depth) == (1280, 720, 4, 10)
+        assert a.preset == "two_perlin_spheres"
+        assert not a.random and not a.bvh and not a.offline
+
+    def test_short_flags(self):
+        a = build_parser().parse_args(
+            ["-W", "320", "-H", "200", "-S", "16", "-D", "5", "-R", "-B",
+             "-P", "cornell", "-F", "3", "-O", "-X"]
+        )
+        assert (a.width, a.height, a.samples, a.depth) == (320, 200, 16, 5)
+        assert a.random and a.bvh and a.offline and a.print_trace
+        assert a.preset == "cornell" and a.frames == 3
+
+    def test_unknown_preset_exit_code(self, tmp_path):
+        rc = main(["-P", "nope", "-O", "--out", str(tmp_path / "x.png")])
+        assert rc == 2
+
+
+class TestFilm:
+    def test_png_roundtrip(self, tmp_path):
+        rgb = (np.random.default_rng(0).random((20, 30, 3)) * 255).astype(np.uint8)
+        path = str(tmp_path / "t.png")
+        film.write_png(path, rgb)
+        back = film.read_png(path)
+        np.testing.assert_array_equal(rgb, back)
+
+    def test_save_frame_flips_vertically(self, tmp_path):
+        img = np.zeros((2, 2, 3), np.float32)
+        img[0, :, 0] = 1.0  # bottom row red (render orientation)
+        path = str(tmp_path / "f.png")
+        film.save_frame_png(path, img)
+        back = film.read_png(path)
+        # PNG top row should be the render's top row (zeros); bottom red
+        assert back[0].max() == 0
+        assert back[1, 0, 0] > 200
+
+    def test_srgb_u8_matches_reference_quantization(self):
+        out = film.to_srgb_u8(np.asarray([[[0.5, 1.0, 0.0]]], np.float32))
+        # 1.055*0.5^(1/2.4)-0.055 = 0.7354 -> *255.99 = 188
+        assert out[0, 0, 0] == 188
+        assert out[0, 0, 1] == 255
+        assert out[0, 0, 2] == 0
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "c.npz")
+        img = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)
+        ckpt.save(path, img, 17, 42)
+        img2, frame, seed = ckpt.load(path)
+        np.testing.assert_array_equal(img, img2)
+        assert (frame, seed) == (17, 42)
+
+    def test_try_load_missing(self):
+        assert ckpt.try_load("/nonexistent/x.npz") is None
+        assert ckpt.try_load(None) is None
+
+
+class TestProgressive:
+    def test_accumulates_and_resumes_bit_exact(self, tmp_path):
+        scene, cam = presets.small(aspect=1.0)
+        params = Params(width=16, height=16, samples=2, max_depth=3)
+        ck = str(tmp_path / "ck.npz")
+        logs = []
+        # run 4 frames straight
+        r_all = render_progressive(
+            scene, cam, params, max_frames=4, log=logs.append
+        )
+        # run 2 + resume 2 with checkpointing
+        r_a = render_progressive(
+            scene, cam, params, max_frames=2, checkpoint_path=ck, log=logs.append
+        )
+        r_b = render_progressive(
+            scene, cam, params, max_frames=2, checkpoint_path=ck, log=logs.append
+        )
+        assert any("resumed" in l for l in logs)
+        # counter-based RNG: resumed run must equal the uninterrupted run
+        np.testing.assert_allclose(r_all.image, r_b.image, atol=1e-6)
+
+    def test_frame_count_and_rays(self):
+        scene, cam = presets.small(aspect=1.0)
+        params = Params(width=8, height=8, samples=1, max_depth=2)
+        r = render_progressive(scene, cam, params, max_frames=3, log=lambda s: None)
+        assert r.frames == 3
+        assert r.total_rays >= 3 * 8 * 8  # every primary ray traced at least once
+
+
+class TestProfiling:
+    def test_render_stats_format(self):
+        s = RenderStats(elapsed_secs=2.0, ray_count=4_000_000)
+        assert s.mrays_per_sec == pytest.approx(2.0)
+        assert "2.00Mrays/s" in s.summary()
+
+    def test_rolling_meter_reports_every_10_frames(self):
+        m = RollingMraysMeter(report_every_frames=10, report_every_secs=1e9)
+        outs = [m.add_frame(1_000_000) for _ in range(25)]
+        reports = [o for o in outs if o]
+        assert len(reports) == 2
+        assert "10frames" in reports[0]
+        assert "20frames" in reports[1]
+
+
+class TestDebugTrace:
+    def test_prints_hit_chain(self):
+        from pathtrace_tpu.utils.debug import print_ray_trace
+
+        scene, cam = presets.small(aspect=2.0)
+        lines = []
+        print_ray_trace(scene, cam, max_depth=5, log=lines.append)
+        text = "\n".join(lines)
+        assert "center ray" in text
+        assert "HIT" in text
+        assert "depth 0" in text
