@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # TPU-specific
     p.add_argument("--pallas", action="store_true", help="Use the Pallas sphere kernel")
+    p.add_argument(
+        "--mode", default="auto", choices=["auto", "fast", "general"],
+        help="Render path: fast (pallas + compaction) when supported, or the "
+             "general wavefront integrator",
+    )
     p.add_argument("--seed", type=int, default=0, help="Base RNG seed")
     p.add_argument("--out", default="output.png", help="Output PNG path")
     p.add_argument("--checkpoint", default=None, help="Checkpoint .npz path (resume if exists)")
@@ -137,7 +142,7 @@ def _run(args) -> int:
         start = time.monotonic()
         result = render_progressive(
             scene, camera, params, max_frames=1, features=features,
-            use_pallas=args.pallas, use_bvh=args.bvh,
+            use_pallas=args.pallas, use_bvh=args.bvh, mode=args.mode,
         )
         elapsed = time.monotonic() - start
         # same offline report shape as reference src/offline.rs:36-41
@@ -156,6 +161,7 @@ def _run(args) -> int:
         features=features,
         use_pallas=args.pallas,
         use_bvh=args.bvh,
+        mode=args.mode,
         checkpoint_path=args.checkpoint,
         snapshot_path=args.out,
         snapshot_every=args.snapshot_every,

@@ -33,7 +33,7 @@ from pathtrace_tpu.models.types import Spheres
 _INF = float(MAX_T)  # python float: jnp scalars would be captured as consts
                      # by pallas kernel tracing
 
-TILE_R = 256   # rays per grid step (sublane axis)
+TILE_R = 512   # rays per grid step (sublane axis); 1024 exceeds scoped VMEM
 TILE_N = 128   # spheres per inner step (lane axis)
 
 

@@ -45,6 +45,7 @@ def render_progressive(
     features: Optional[SceneFeatures] = None,
     use_pallas: bool = False,
     use_bvh: bool = False,
+    mode: str = "auto",
     on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
@@ -80,13 +81,33 @@ def render_progressive(
 
         sphere_nearest_fn = sphere_nearest_pallas
 
-    @jax.jit
-    def frame_fn(scene_arg, key):
-        return render_frame(
-            scene_arg, camera, params.width, params.height, params.samples,
-            params.max_depth, key,
-            sphere_nearest_fn=sphere_nearest_fn, features=features,
-        )
+    # mode selection: the fast path (pallas closest-hit + single-row-gather
+    # shading + stream compaction) when the scene class supports it
+    from pathtrace_tpu.ops.fastpath import fastpath_supported, render_frame_fast
+
+    use_fast = (
+        mode == "fast"
+        or (mode == "auto" and fastpath_supported(features)
+            and sphere_nearest_fn is None and not (use_bvh or params.use_bvh))
+    )
+
+    if use_fast:
+        def frame_fn(scene_arg, key, frame_idx):
+            return render_frame_fast(
+                scene_arg, camera, params.width, params.height, params.samples,
+                params.max_depth, key, seed * 1000003 + frame_idx, features,
+            )
+    else:
+        @jax.jit
+        def _frame_general(scene_arg, key):
+            return render_frame(
+                scene_arg, camera, params.width, params.height, params.samples,
+                params.max_depth, key,
+                sphere_nearest_fn=sphere_nearest_fn, features=features,
+            )
+
+        def frame_fn(scene_arg, key, frame_idx):
+            return _frame_general(scene_arg, key)
 
     start_frame = 0
     acc = None
@@ -106,7 +127,7 @@ def render_progressive(
 
     while end_frame is None or frame < end_frame:
         key = jax.random.fold_in(base_key, frame)
-        img, rays = frame_fn(scene, key)
+        img, rays = frame_fn(scene, key, frame)
         acc = img if acc is None else accumulate(acc, img, frame)
         rays = int(rays)  # device sync point for this frame
         total_rays += rays

@@ -1,0 +1,116 @@
+"""Fast path tests: parity with the general integrator, compaction
+invariance, frame rendering, megakernel statistical parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtrace_tpu.camera import get_rays
+from pathtrace_tpu.models import presets
+from pathtrace_tpu.models.types import SceneFeatures
+from pathtrace_tpu.ops.fastpath import (
+    fastpath_supported,
+    render_frame_fast,
+    trace_fast,
+)
+from pathtrace_tpu.render import integrator
+from pathtrace_tpu.utils.compare import assert_statistical_parity
+
+
+def camera_rays(cam, n, seed=0):
+    key = jax.random.PRNGKey(seed)
+    s = jax.random.uniform(jax.random.fold_in(key, 0), (n,))
+    t = jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+    u = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
+    return get_rays(cam, s, t, u)
+
+
+class TestSupport:
+    def test_supported_presets(self):
+        for name in ("small", "random_spheres", "two_perlin_spheres",
+                     "simple_light", "smallpt"):
+            scene, _ = presets.from_name(name, 1.0)
+            assert fastpath_supported(SceneFeatures.from_scene(scene)), name
+
+    def test_unsupported_presets(self):
+        for name in ("cornell", "cornell_smoke", "earth"):
+            scene, _ = presets.from_name(name, 1.0)
+            assert not fastpath_supported(SceneFeatures.from_scene(scene)), name
+
+
+class TestParity:
+    @pytest.mark.parametrize("preset", ["small", "simple_light", "smallpt"])
+    def test_statistical_match_with_integrator(self, preset):
+        scene, cam = presets.from_name(preset, 4 / 3)
+        feats = SceneFeatures.from_scene(scene)
+        n = 8192
+        ro, rd, tm = camera_rays(cam, n)
+        key = jax.random.PRNGKey(0)
+        r1, c1 = integrator.trace(scene, ro, rd, tm, key, 8, features=feats)
+        r2, c2 = trace_fast(scene, ro, rd, tm, 0, 8, feats, min_size=512)
+        m1 = np.asarray(r1).mean(axis=0)
+        m2 = np.asarray(r2).mean(axis=0)
+        np.testing.assert_allclose(m1, m2, atol=0.02)
+        assert abs(c2 - int(c1)) < 0.03 * int(c1) + 10
+
+    def test_compaction_bit_exact_invariance(self):
+        scene, cam = presets.small(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        ro, rd, tm = camera_rays(cam, 2048)
+        a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats, min_size=128)
+        b, cb = trace_fast(scene, ro, rd, tm, 5, 8, feats, compaction=False)
+        # stable lane ids => compaction cannot change any sample
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        assert ca == cb
+
+    def test_deterministic_per_seed(self):
+        scene, cam = presets.small(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        ro, rd, tm = camera_rays(cam, 1024)
+        a, _ = trace_fast(scene, ro, rd, tm, 7, 6, feats)
+        b, _ = trace_fast(scene, ro, rd, tm, 7, 6, feats)
+        c, _ = trace_fast(scene, ro, rd, tm, 8, 6, feats)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+class TestFrame:
+    def test_render_frame_fast_matches_general(self):
+        from pathtrace_tpu.render.frame import render_frame
+
+        scene, cam = presets.small(aspect=4 / 3)
+        feats = SceneFeatures.from_scene(scene)
+        W, H, S = 48, 36, 8
+        key = jax.random.PRNGKey(3)
+        img_gen, _ = render_frame(scene, cam, W, H, S, 8, key, features=feats)
+        # same primary rays (same key), different bounce RNG stream
+        img_fast, rays = render_frame_fast(
+            scene, cam, W, H, S, 8, jax.random.split(key)[0], 0, feats
+        )
+        assert np.asarray(img_fast).shape == (H, W, 3)
+        assert rays > W * H * S
+        assert_statistical_parity(
+            np.asarray(img_gen), np.asarray(img_fast), mae_tol=0.04, bias_tol=0.01
+        )
+
+
+class TestMegakernel:
+    def test_megakernel_statistical_parity(self):
+        from pathtrace_tpu.ops.megakernel import (
+            megakernel_supported,
+            trace_megakernel,
+        )
+
+        scene, cam = presets.small(aspect=4 / 3)
+        feats = SceneFeatures.from_scene(scene)
+        assert megakernel_supported(feats)
+        n = 4096
+        ro, rd, tm = camera_rays(cam, n)
+        key = jax.random.PRNGKey(0)
+        r1, c1 = integrator.trace(scene, ro, rd, tm, key, 8, features=feats)
+        r2, c2 = trace_megakernel(scene, ro, rd, tm, 0, 8, feats)
+        np.testing.assert_allclose(
+            np.asarray(r1).mean(axis=0), np.asarray(r2).mean(axis=0), atol=0.02
+        )
+        assert abs(int(c2) - int(c1)) < 0.03 * int(c1) + 10
