@@ -59,15 +59,28 @@ from pathtrace_tpu.models.types import (
 _INF = float(MAX_T)
 TILE_R = 256
 TILE_N = 128
-K_ATTR = 24
 N_SHADE = 14
 COL_KIND = 14
 GEO = 15
 TWO_PI = 6.283185307179586
 
+# winner-row kind codes (col COL_KIND)
+KIND_SPHERE = 0.0
+KIND_RECT = 1.0
+KIND_BOX = 2.0
+KIND_MEDIUM = 3.0
+
+
+def attr_width(features: SceneFeatures) -> int:
+    """24 columns suffice for sphere/rect scenes; boxes/media carry affine
+    transforms and need 48 (box rows: 14 shade + kind + p0 p1 +
+    obj_from_world 3x4 + world_from_obj linear 3x3 = 42)."""
+    return 48 if (features.has_boxes or features.has_media) else 24
+
 
 def fastpath_supported(features: SceneFeatures) -> bool:
-    return not (features.has_boxes or features.has_media or features.has_image)
+    # image textures need sphere UV + atlas gathers: general path only
+    return not features.has_image
 
 
 # ---------------------------------------------------------------------------
@@ -94,7 +107,7 @@ def _shade_cols(scene: Scene, mat_id):
     ]
 
 
-def _finish_table(cols, mask, dead_col: int, n_pad: int):
+def _finish_table(cols, mask, dead_col: int, n_pad: int, k_attr: int):
     table = jnp.stack(cols, axis=1)
     table = jnp.where(mask[:, None], table, 0.0)
     dead = jnp.logical_not(mask)
@@ -104,29 +117,27 @@ def _finish_table(cols, mask, dead_col: int, n_pad: int):
         pad = jnp.zeros((n_pad - rows, table.shape[1]), table.dtype)
         pad = pad.at[:, dead_col].set(1.0e18)
         table = jnp.concatenate([table, pad], axis=0)
-    if table.shape[1] < K_ATTR:
+    if table.shape[1] < k_attr:
         table = jnp.concatenate(
-            [table, jnp.zeros((table.shape[0], K_ATTR - table.shape[1]), table.dtype)],
+            [table, jnp.zeros((table.shape[0], k_attr - table.shape[1]), table.dtype)],
             axis=1,
         )
     return table
 
 
-def build_sphere_table(scene: Scene) -> jnp.ndarray:
+def build_sphere_table(scene: Scene, k_attr: int) -> jnp.ndarray:
     sp = scene.spheres
     cols = _shade_cols(scene, sp.mat_id) + [
         jnp.zeros_like(sp.radius),                       # kind = 0 (sphere)
         sp.center[:, 0], sp.center[:, 1], sp.center[:, 2],
         sp.center_delta[:, 0], sp.center_delta[:, 1], sp.center_delta[:, 2],
-        sp.time0, sp.inv_time_delta,
+        sp.time0, sp.inv_time_delta, sp.radius,          # radius at GEO+8
     ]
-    # radius is col 23 (== GEO+8), set after padding guard
-    cols = cols + [sp.radius]
     n_pad = ((sp.count + TILE_N - 1) // TILE_N) * TILE_N
-    return _finish_table(cols, sp.mask, GEO, n_pad)      # dead: cx -> 1e18
+    return _finish_table(cols, sp.mask, GEO, n_pad, k_attr)  # dead: cx -> 1e18
 
 
-def build_rect_table(scene: Scene) -> jnp.ndarray:
+def build_rect_table(scene: Scene, k_attr: int) -> jnp.ndarray:
     rc = scene.rects
     cols = _shade_cols(scene, rc.mat_id) + [
         jnp.ones_like(rc.k),                             # kind = 1 (rect)
@@ -134,39 +145,87 @@ def build_rect_table(scene: Scene) -> jnp.ndarray:
         rc.a0, rc.a1, rc.b0, rc.b1, rc.k, rc.flip,
     ]
     assert rc.count <= TILE_N, "fastpath supports at most 128 rects"
-    return _finish_table(cols, rc.mask, GEO + 5, TILE_N)  # dead: k -> 1e18
+    return _finish_table(cols, rc.mask, GEO + 5, TILE_N, k_attr)  # dead: k -> 1e18
 
 
-def nearest_hit_attrs(sph_table, rect_table, ro, rd, time, features,
-                      spheres=None, rects=None):
-    """Closest hit + winner attribute row. Returns (t [R], attrs [R, 24]).
+def build_box_table(scene: Scene, k_attr: int) -> jnp.ndarray:
+    """Box rows: GEO+0..2 p0, +3..5 p1, +6..17 obj_from_world (3x4
+    row-major), +18..26 world_from_obj linear part (3x3 row-major)."""
+    bx = scene.boxes
+    ofw = bx.obj_from_world.reshape(bx.count, 12)
+    wfo = bx.world_from_obj[:, :, :3].reshape(bx.count, 9)
+    cols = _shade_cols(scene, bx.mat_id) + [
+        jnp.full((bx.count,), KIND_BOX),
+        bx.p0[:, 0], bx.p0[:, 1], bx.p0[:, 2],
+        bx.p1[:, 0], bx.p1[:, 1], bx.p1[:, 2],
+    ] + [ofw[:, i] for i in range(12)] + [wfo[:, i] for i in range(9)]
+    return _finish_table(cols, bx.mask, GEO, bx.count, k_attr)
+
+
+def build_media_table(scene: Scene, k_attr: int) -> jnp.ndarray:
+    """Medium rows: same p0/p1/obj_from_world slots as boxes (the scatter
+    needs no normal, so world_from_obj is unused); density at GEO+18,
+    sphere-boundary radius at GEO+19."""
+    md = scene.media
+    ofw = md.obj_from_world.reshape(md.count, 12)
+    cols = _shade_cols(scene, md.mat_id) + [
+        jnp.full((md.count,), KIND_MEDIUM),
+        md.p0[:, 0], md.p0[:, 1], md.p0[:, 2],
+        md.p1[:, 0], md.p1[:, 1], md.p1[:, 2],
+    ] + [ofw[:, i] for i in range(12)] + [md.density, md.radius]
+    return _finish_table(cols, md.mask, GEO, md.count, k_attr)
+
+
+def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None):
+    """Closest hit + winner attribute row across all primitive kinds.
+
+    ``tables`` = (sphere, rect, box, media) attribute tables (box/media may
+    be None for narrow scenes). Returns (t [R], attrs [R, k_attr]).
 
     Measured reality on this platform: pallas outputs above ~8 MB get
     allocated VMEM-resident and destroy throughput, while a single XLA ROW
-    gather ``[R, 24] <- [N, 24]`` costs ~5.7 ms/1M — 20x cheaper than the 25
-    scalar gathers it replaces. So the kernel returns only (t, idx) (8 MB at
-    1M rays) and the winner row is fetched with one gather from the fused
-    sphere+rect table.
+    gather costs ~6 ms/1M — 20x cheaper than the ~25 scalar gathers it
+    replaces. So the sphere kernel returns only (t, idx) and the winner row
+    is fetched with one gather from the fused table. Rect/box/media counts
+    are tiny, so their intersections stay in XLA.
     """
     from pathtrace_tpu.ops import intersect as isect
     from pathtrace_tpu.ops.intersect_pallas import _sphere_nearest_pallas_impl
 
     f = features
-    n_sph = sph_table.shape[0]
+    sph_table, rect_table, box_table, media_table = tables
+    parts = [sph_table]
+    offset = sph_table.shape[0]
     if f.has_spheres:
         t, idx = _sphere_nearest_pallas_impl(
-            spheres, ro, rd, time, MIN_T, MAX_T, bool(f.has_motion)
+            scene.spheres, ro, rd, time, MIN_T, MAX_T, bool(f.has_motion)
         )
     else:
         t = jnp.full(ro.shape[:1], _INF, ro.dtype)
         idx = jnp.zeros(ro.shape[:1], jnp.int32)
     if f.has_rects:
-        # rects are few: the XLA brute force is ~1 ms at 1M rays
-        t_r, i_r = isect.rect_nearest(rects, ro, rd)
-        rect_wins = t_r < t
-        t = jnp.where(rect_wins, t_r, t)
-        idx = jnp.where(rect_wins, n_sph + i_r, idx)
-    table = jnp.concatenate([sph_table, rect_table], axis=0)
+        t_r, i_r = isect.rect_nearest(scene.rects, ro, rd)
+        wins = t_r < t
+        t = jnp.where(wins, t_r, t)
+        idx = jnp.where(wins, offset + i_r, idx)
+    parts.append(rect_table)
+    offset += rect_table.shape[0]
+    if f.has_boxes:
+        t_b, i_b = isect.box_nearest(scene.boxes, ro, rd)
+        wins = t_b < t
+        t = jnp.where(wins, t_b, t)
+        idx = jnp.where(wins, offset + i_b, idx)
+    if box_table is not None:
+        parts.append(box_table)
+        offset += box_table.shape[0]
+    if f.has_media:
+        t_m, i_m = isect.media_nearest(scene.media, ro, rd, med_u)
+        wins = t_m < t
+        t = jnp.where(wins, t_m, t)
+        idx = jnp.where(wins, offset + i_m, idx)
+    if media_table is not None:
+        parts.append(media_table)
+    table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     attrs = table[idx]                                   # ONE row gather
     return t, attrs
 
@@ -257,22 +316,28 @@ class FastState(NamedTuple):
 
 
 def fast_bounce(
-    sph_table, rect_table, sky, use_gradient_sky, state: FastState,
-    seed, depth, max_depth: int, features: SceneFeatures,
-    spheres=None, rects=None,
+    tables, sky, use_gradient_sky, state: FastState,
+    seed, depth, max_depth: int, features: SceneFeatures, scene=None,
 ):
     """One single-gather bounce. depth: traced int32; max_depth static."""
     f = features
+    med_u = None
+    if f.has_media:
+        # one free-flight uniform per (ray, medium)
+        n_media = scene.media.count
+        med_u = jnp.stack(
+            [counter_uniform(state.lane, seed, depth, 8 + j)
+             for j in range(n_media)], axis=-1,
+        )
     t, attrs = nearest_hit_attrs(
-        sph_table, rect_table, state.ro, state.rd, state.time, f,
-        spheres=spheres, rects=rects,
+        tables, state.ro, state.rd, state.time, f, scene, med_u=med_u
     )
     hit = t < _INF
     t_safe = jnp.where(hit, t, 0.0)
     point = state.ro + t_safe[:, None] * state.rd
 
-    is_rect = attrs[:, COL_KIND] > 0.5
-    # sphere normal
+    kind = attrs[:, COL_KIND]
+    # sphere normal (default)
     center = attrs[:, GEO:GEO + 3]
     if f.has_motion:
         s = (state.time - attrs[:, GEO + 6]) * attrs[:, GEO + 7]
@@ -286,7 +351,46 @@ def fast_bounce(
             jnp.arange(3, dtype=jnp.float32)[None, :] == axis[:, None]
         ).astype(point.dtype)
         normal = jnp.where(
-            is_rect[:, None], one_hot_axis * flip[:, None], normal
+            (kind == KIND_RECT)[:, None], one_hot_axis * flip[:, None], normal
+        )
+    if f.has_boxes:
+        # box normal: redo the slab test in object space from the winner's
+        # affine columns (pure elementwise batched matvecs, no gathers)
+        R = point.shape[0]
+        ofw = attrs[:, GEO + 6:GEO + 18].reshape(R, 3, 4)
+        ro_o = jnp.einsum("rij,rj->ri", ofw[:, :, :3], state.ro) + ofw[:, :, 3]
+        rd_o = jnp.einsum("rij,rj->ri", ofw[:, :, :3], state.rd)
+        rd_o = jnp.where(jnp.abs(rd_o) < 1e-12, 1e-12, rd_o)
+        rcp = 1.0 / rd_o
+        bp0 = attrs[:, GEO:GEO + 3]
+        bp1 = attrs[:, GEO + 3:GEO + 6]
+        d0 = (bp0 - ro_o) * rcp
+        d1 = (bp1 - ro_o) * rcp
+        tn = jnp.minimum(d0, d1)
+        tf = jnp.maximum(d0, d1)
+        t_enter = jnp.max(tn, axis=-1)
+        enter_axis = jnp.argmax(tn, axis=-1)
+        exit_axis = jnp.argmin(tf, axis=-1)
+        is_entry = jnp.abs(t_safe - t_enter) < 1e-4 * jnp.maximum(jnp.abs(t_safe), 1.0)
+        face_axis = jnp.where(is_entry, enter_axis, exit_axis)
+        sign_d = jnp.sign(
+            jnp.take_along_axis(rd_o, face_axis[:, None], axis=-1)[:, 0]
+        )
+        n_sign = jnp.where(is_entry, -sign_d, sign_d)
+        n_obj = (
+            (jnp.arange(3)[None, :] == face_axis[:, None]).astype(point.dtype)
+            * n_sign[:, None]
+        )
+        wfo = attrs[:, GEO + 18:GEO + 27].reshape(R, 3, 3)
+        box_n = jnp.einsum("rij,rj->ri", wfo, n_obj)
+        normal = jnp.where((kind == KIND_BOX)[:, None], box_n, normal)
+    if f.has_media:
+        # arbitrary normal; the isotropic phase function ignores it
+        # (reference src/collision/constant_medium.rs:66)
+        normal = jnp.where(
+            (kind == KIND_MEDIUM)[:, None],
+            jnp.asarray([1.0, 0.0, 0.0], point.dtype),
+            normal,
         )
 
     # texture color
@@ -409,8 +513,8 @@ def _rung(n_alive: int, minimum: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("max_depth", "features", "group")
 )
-def _bounce_group_jit(sph_table, rect_table, sky, grad_sky, state, seed,
-                      depth0, max_depth, features, spheres, rects,
+def _bounce_group_jit(tables, sky, grad_sky, state, seed,
+                      depth0, max_depth, features, scene,
                       group: int = 1):
     """Run `group` consecutive bounces in ONE dispatch.
 
@@ -421,8 +525,8 @@ def _bounce_group_jit(sph_table, rect_table, sky, grad_sky, state, seed,
     for g in range(group):
         segs = segs + jnp.sum(state.alive, dtype=jnp.int32)
         state = fast_bounce(
-            sph_table, rect_table, sky, grad_sky, state, seed, depth0 + g,
-            max_depth, features, spheres=spheres, rects=rects,
+            tables, sky, grad_sky, state, seed, depth0 + g,
+            max_depth, features, scene=scene,
         )
     return state, segs
 
@@ -454,12 +558,14 @@ def _final_flush(out_radiance, state, indices):
 
 @functools.partial(jax.jit, static_argnames=("features",))
 def prep_tables(scene: Scene, features: SceneFeatures):
-    return (
-        build_sphere_table(scene),
-        build_rect_table(scene),
-        scene.sky.reshape(1, 3),
-        scene.use_gradient_sky,
+    k = attr_width(features)
+    tables = (
+        build_sphere_table(scene, k),
+        build_rect_table(scene, k),
+        build_box_table(scene, k) if features.has_boxes else None,
+        build_media_table(scene, k) if features.has_media else None,
     )
+    return tables, scene.sky.reshape(1, 3), scene.use_gradient_sky
 
 
 def render_frame_fast(
@@ -519,7 +625,7 @@ def trace_fast(
     """
     assert fastpath_supported(features)
     R = ro.shape[0]
-    sph_table, rect_table, sky, grad_sky = prep_tables(scene, features)
+    tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
 
     out_radiance = jnp.zeros((R, 3), ro.dtype)
@@ -551,9 +657,9 @@ def trace_fast(
         g_mem = group if size <= (1 << 19) else 1
         g = min(g_mem, max_depth + 1 - depth)
         state, segs = _bounce_group_jit(
-            sph_table, rect_table, sky, grad_sky, state,
+            tables, sky, grad_sky, state,
             seed_arr, jnp.int32(depth), max_depth, features,
-            scene.spheres, scene.rects, group=g,
+            scene, group=g,
         )
         depth += g
         new_pending = (jnp.sum(state.alive), segs)
