@@ -60,7 +60,9 @@ def render_progressive(
     """
     seed = params.resolve_seed()
     base_key = jax.random.PRNGKey(seed)
-    features = features or SceneFeatures.all_on()
+    # derive features from the (still host-side) scene when not provided —
+    # all_on() would needlessly disqualify the fast path
+    features = features or SceneFeatures.from_scene(scene)
 
     sphere_nearest_fn = None
     if use_bvh or params.use_bvh:
