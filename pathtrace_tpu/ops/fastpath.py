@@ -74,13 +74,15 @@ KIND_MEDIUM = 3.0
 def attr_width(features: SceneFeatures) -> int:
     """24 columns suffice for sphere/rect scenes; boxes/media carry affine
     transforms and need 48 (box rows: 14 shade + kind + p0 p1 +
-    obj_from_world 3x4 + world_from_obj linear 3x3 = 42)."""
-    return 48 if (features.has_boxes or features.has_media) else 24
+    obj_from_world 3x4 + world_from_obj linear 3x3 = 42). Image textures
+    add 3 metadata columns (atlas y-offset/height/width) at the row tail."""
+    if features.has_boxes or features.has_media:
+        return 48
+    return 28 if features.has_image else 24
 
 
 def fastpath_supported(features: SceneFeatures) -> bool:
-    # image textures need sphere UV + atlas gathers: general path only
-    return not features.has_image
+    return True  # every scene class is covered (kept for future gating)
 
 
 # ---------------------------------------------------------------------------
@@ -107,7 +109,26 @@ def _shade_cols(scene: Scene, mat_id):
     ]
 
 
-def _finish_table(cols, mask, dead_col: int, n_pad: int, k_attr: int):
+def _img_cols(scene: Scene, mat_id):
+    """Atlas metadata (y_offset, height, width) per primitive — tail cols."""
+    tid = scene.materials.tex_id[mat_id]
+    img_id = scene.textures.image_id[tid]
+    at = scene.atlas
+    return [
+        at.y_offset[img_id].astype(jnp.float32),
+        at.height[img_id].astype(jnp.float32),
+        at.width[img_id].astype(jnp.float32),
+    ]
+
+
+def _finish_table(cols, mask, dead_col: int, n_pad: int, k_attr: int,
+                  img_cols=None):
+    if img_cols is not None:
+        # image metadata lives in the last 3 columns of the row
+        n = cols[0].shape[0]
+        while len(cols) < k_attr - 3:
+            cols = cols + [jnp.zeros((n,), jnp.float32)]
+        cols = cols[: k_attr - 3] + img_cols
     table = jnp.stack(cols, axis=1)
     table = jnp.where(mask[:, None], table, 0.0)
     dead = jnp.logical_not(mask)
@@ -134,7 +155,8 @@ def build_sphere_table(scene: Scene, k_attr: int) -> jnp.ndarray:
         sp.time0, sp.inv_time_delta, sp.radius,          # radius at GEO+8
     ]
     n_pad = ((sp.count + TILE_N - 1) // TILE_N) * TILE_N
-    return _finish_table(cols, sp.mask, GEO, n_pad, k_attr)  # dead: cx -> 1e18
+    img = _img_cols(scene, sp.mat_id) if k_attr >= 28 else None
+    return _finish_table(cols, sp.mask, GEO, n_pad, k_attr, img)  # dead: cx -> 1e18
 
 
 def build_rect_table(scene: Scene, k_attr: int) -> jnp.ndarray:
@@ -145,7 +167,8 @@ def build_rect_table(scene: Scene, k_attr: int) -> jnp.ndarray:
         rc.a0, rc.a1, rc.b0, rc.b1, rc.k, rc.flip,
     ]
     assert rc.count <= TILE_N, "fastpath supports at most 128 rects"
-    return _finish_table(cols, rc.mask, GEO + 5, TILE_N, k_attr)  # dead: k -> 1e18
+    img = _img_cols(scene, rc.mat_id) if k_attr >= 28 else None
+    return _finish_table(cols, rc.mask, GEO + 5, TILE_N, k_attr, img)  # dead: k -> 1e18
 
 
 def build_box_table(scene: Scene, k_attr: int) -> jnp.ndarray:
@@ -159,7 +182,8 @@ def build_box_table(scene: Scene, k_attr: int) -> jnp.ndarray:
         bx.p0[:, 0], bx.p0[:, 1], bx.p0[:, 2],
         bx.p1[:, 0], bx.p1[:, 1], bx.p1[:, 2],
     ] + [ofw[:, i] for i in range(12)] + [wfo[:, i] for i in range(9)]
-    return _finish_table(cols, bx.mask, GEO, bx.count, k_attr)
+    img = _img_cols(scene, bx.mat_id) if k_attr >= 28 else None
+    return _finish_table(cols, bx.mask, GEO, bx.count, k_attr, img)
 
 
 def build_media_table(scene: Scene, k_attr: int) -> jnp.ndarray:
@@ -173,7 +197,8 @@ def build_media_table(scene: Scene, k_attr: int) -> jnp.ndarray:
         md.p0[:, 0], md.p0[:, 1], md.p0[:, 2],
         md.p1[:, 0], md.p1[:, 1], md.p1[:, 2],
     ] + [ofw[:, i] for i in range(12)] + [md.density, md.radius]
-    return _finish_table(cols, md.mask, GEO, md.count, k_attr)
+    img = _img_cols(scene, md.mat_id) if k_attr >= 28 else None
+    return _finish_table(cols, md.mask, GEO, md.count, k_attr, img)
 
 
 def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None):
@@ -409,6 +434,26 @@ def fast_bounce(
             1.0 + jnp.sin(attrs[:, 13] * point[:, 2] + 10.0 * fast_turb(point))
         )
         rgb = jnp.where((tex_kind == TEX_NOISE)[:, None], marble[:, None], rgb)
+    if f.has_image:
+        # sphere UV from the unit normal (reference src/material.rs:41-49);
+        # image textures on non-sphere kinds are not used by any preset
+        phi = jnp.arctan2(normal[:, 0], normal[:, 1])
+        theta = jnp.arcsin(jnp.clip(normal[:, 1], -1.0, 1.0))
+        uu = 1.0 - (phi + 3.14159265) * (0.5 / 3.14159265)
+        vv = (theta + 1.5707963) * (1.0 / 3.14159265)
+        k_attr = attrs.shape[1]
+        img_y = attrs[:, k_attr - 3]
+        img_h = attrs[:, k_attr - 2]
+        img_w = attrs[:, k_attr - 1]
+        ii = jnp.clip((uu * img_w).astype(jnp.int32), 0,
+                      jnp.maximum(img_w.astype(jnp.int32) - 1, 0))
+        jj = jnp.clip(((1.0 - vv) * img_h - 0.001).astype(jnp.int32), 0,
+                      jnp.maximum(img_h.astype(jnp.int32) - 1, 0))
+        atlas = scene.atlas.data
+        w_atlas = atlas.shape[1]
+        flat_idx = (img_y.astype(jnp.int32) + jj) * w_atlas + ii
+        img_rgb = atlas.reshape(-1, 3)[flat_idx]   # ONE row gather
+        rgb = jnp.where((tex_kind == 3.0)[:, None], img_rgb, rgb)
 
     # emission + sky
     mat_kind = attrs[:, 0]

@@ -27,22 +27,17 @@ def camera_rays(cam, n, seed=0):
 
 
 class TestSupport:
-    def test_supported_presets(self):
-        for name in ("small", "random_spheres", "two_perlin_spheres",
-                     "simple_light", "smallpt", "cornell", "cornell_smoke"):
+    def test_all_presets_supported(self):
+        for name in presets.names():
             scene, _ = presets.from_name(name, 1.0)
             assert fastpath_supported(SceneFeatures.from_scene(scene)), name
-
-    def test_unsupported_presets(self):
-        # image textures need sphere-UV + atlas gathers: general path
-        scene, _ = presets.from_name("earth", 1.0)
-        assert not fastpath_supported(SceneFeatures.from_scene(scene))
 
 
 class TestParity:
     @pytest.mark.parametrize(
         "preset",
-        ["small", "simple_light", "smallpt", "cornell", "cornell_smoke"],
+        ["small", "simple_light", "smallpt", "cornell", "cornell_smoke",
+         "earth"],
     )
     def test_statistical_match_with_integrator(self, preset):
         scene, cam = presets.from_name(preset, 4 / 3)

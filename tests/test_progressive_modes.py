@@ -34,7 +34,7 @@ class TestModes:
         )
         np.testing.assert_array_equal(r_auto.image, r_fast.image)
 
-    def test_auto_falls_back_for_image_textures(self):
+    def test_earth_renders_under_auto(self):
         scene, cam = presets.earth(aspect=1.0)
         params = Params(width=16, height=16, samples=2, max_depth=3)
         r = render_progressive(
