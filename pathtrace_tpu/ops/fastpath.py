@@ -215,15 +215,17 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None):
     are tiny, so their intersections stay in XLA.
     """
     from pathtrace_tpu.ops import intersect as isect
-    from pathtrace_tpu.ops.intersect_pallas import _sphere_nearest_pallas_impl
+    from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
 
     f = features
     sph_table, rect_table, box_table, media_table = tables
     parts = [sph_table]
     offset = sph_table.shape[0]
     if f.has_spheres:
-        t, idx = _sphere_nearest_pallas_impl(
-            scene.spheres, ro, rd, time, MIN_T, MAX_T, bool(f.has_motion)
+        # the custom-VJP wrapper: differentiable via winner recomputation
+        t, idx = sphere_nearest_pallas(
+            scene.spheres, ro, rd, time, MIN_T, MAX_T,
+            has_motion=bool(f.has_motion),
         )
     else:
         t = jnp.full(ro.shape[:1], _INF, ro.dtype)
@@ -496,11 +498,15 @@ def fast_bounce(
         ni = jnp.where(exiting, ref_idx, 1.0 / ref_idx)
         cos_in = jnp.where(exiting, rdotn, -rdotn)
         ces = 1.0 - ref_idx * ref_idx * (1.0 - cos_in * cos_in)
-        cosine = jnp.where(exiting, jnp.sqrt(jnp.maximum(ces, 0.0)), cos_in)
+        # double-where guards: sqrt'(0) is infinite and poisons reverse-mode
+        # AD through masked lanes (see ops/intersect.py)
+        cosine = jnp.where(
+            exiting, jnp.sqrt(jnp.where(ces > 0.0, ces, 1.0)), cos_in
+        )
         dt_ = jnp.sum(d * outward, axis=-1)
         disc = 1.0 - ni * ni * (1.0 - dt_ * dt_)
         refr_ok = disc > 0.0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = jnp.sqrt(jnp.where(refr_ok, disc, 1.0))
         refr = ni[:, None] * (d - outward * dt_[:, None]) - outward * sq[:, None]
         r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
         r0 = r0 * r0
@@ -611,6 +617,53 @@ def prep_tables(scene: Scene, features: SceneFeatures):
         build_media_table(scene, k) if features.has_media else None,
     )
     return tables, scene.sky.reshape(1, 3), scene.use_gradient_sky
+
+
+def trace_fast_diff(
+    scene: Scene,
+    ro,
+    rd,
+    time,
+    seed,
+    max_depth: int,
+    features: SceneFeatures,
+):
+    """Differentiable fast trace: lax.scan over the full bounce budget.
+
+    Every piece of ``fast_bounce`` is reverse-differentiable (the pallas
+    kernel via its custom VJP, the row gather, the elementwise shading), so
+    scene-parameter gradients flow through the attribute tables back to the
+    scene pytree. No compaction (static shapes under scan). Returns
+    (radiance [R, 3], ray_count []).
+    """
+    assert fastpath_supported(features)
+    R = ro.shape[0]
+    tables, sky, grad_sky = prep_tables(scene, features)
+    seed_arr = jnp.asarray(seed, jnp.int32)
+    state = FastState(
+        ro=ro,
+        rd=rd,
+        time=time,
+        radiance=jnp.zeros((R, 3), ro.dtype),
+        throughput=jnp.ones((R, 3), ro.dtype),
+        alive=jnp.ones(R, bool),
+        lane=jnp.arange(R, dtype=jnp.uint32),
+    )
+
+    def step(carry, depth):
+        state, segs = carry
+        segs = segs + jnp.sum(state.alive, dtype=jnp.int32)
+        state = fast_bounce(
+            tables, sky, grad_sky, state, seed_arr, depth, max_depth,
+            features, scene=scene,
+        )
+        return (state, segs), None
+
+    (state, segs), _ = jax.lax.scan(
+        step, (state, jnp.int32(0)),
+        jnp.arange(max_depth + 1, dtype=jnp.int32),
+    )
+    return state.radiance, segs
 
 
 def render_frame_fast(

@@ -90,6 +90,7 @@ class InverseRenderer:
     rebuild: Callable[[Any], Scene]
     optimizer: Any = None
     learning_rate: float = 2e-2
+    use_fast_path: bool = False  # single-device trace_fast_diff forward
 
     def __post_init__(self):
         if self.optimizer is None:
@@ -97,6 +98,24 @@ class InverseRenderer:
 
     def render(self, params, key):
         scene = self.rebuild(params)
+        if self.use_fast_path:
+            # differentiable fast path (pallas kernel + row-gather shading);
+            # single device — mesh data parallelism uses the general path
+            from pathtrace_tpu.ops.fastpath import trace_fast_diff
+            from pathtrace_tpu.render.frame import generate_primary_rays
+
+            kray, _ = jax.random.split(key)
+            ro, rd, t = generate_primary_rays(
+                self.camera, self.width, self.height, self.samples, kray
+            )
+            R = self.height * self.width * self.samples
+            radiance, _ = trace_fast_diff(
+                scene, ro.reshape(R, 3), rd.reshape(R, 3), t.reshape(R),
+                jnp.int32(0), self.max_depth, self.features,
+            )
+            return radiance.reshape(
+                self.height, self.width, self.samples, 3
+            ).mean(axis=2)
         img, _ = pmesh.render_frame_sharded(
             scene, self.camera, self.width, self.height, self.samples,
             self.max_depth, key, self.mesh, features=self.features,
@@ -136,6 +155,7 @@ def make_inverse_renderer(
     mesh=None,
     trainable: Callable[[str], bool] = default_trainable,
     learning_rate: float = 2e-2,
+    use_fast_path: bool = False,
 ):
     """Build (renderer, initial TrainState, trainable-leaf names)."""
     mesh = mesh or pmesh.make_render_mesh()
@@ -151,5 +171,6 @@ def make_inverse_renderer(
         features=features,
         rebuild=rebuild,
         learning_rate=learning_rate,
+        use_fast_path=use_fast_path,
     )
     return renderer, renderer.init(params), names
