@@ -268,11 +268,13 @@ def bvh_sphere_nearest(
 
     init = (
         jnp.zeros(R, jnp.int32),
-        jnp.full(R, _INF, jnp.float32),
+        jnp.full(R, t_max, jnp.float32),  # honor the caller's window
         jnp.zeros(R, jnp.int32),
         jnp.int32(0),
     )
     _, best_t, best_i, _ = jax.lax.while_loop(cond, body, init)
+    # misses report MAX_T like sphere_nearest does
+    best_t = jnp.where(best_t < t_max, best_t, jnp.float32(_INF))
     return best_t, best_i
 
 

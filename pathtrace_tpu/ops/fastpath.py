@@ -20,18 +20,24 @@ pipeline and destroy throughput):
   alive set only shrinks, so the lagged count is a safe upper bound and
   the device->host sync latency is fully hidden.
 
-Attribute row layout (shared by both primitive kinds):
+Attribute row layout (shared by all primitive kinds; width per
+``attr_width``: 24, 28 with image textures, 48 with boxes/media):
   cols 0-13   shading: mat_kind, fuzz, ref_idx, tex_kind, col_rgb,
               odd_rgb, even_rgb, noise_scale
-  col  14     kind: 0 = sphere, 1 = rect
+  col  14     kind: 0 sphere, 1 rect, 2 box, 3 medium
   cols 15+    geometry: sphere -> cx cy cz dx dy dz time0 inv_dt radius
               rect   -> axis a0 a1 b0 b1 k flip
+              box    -> p0 p1 obj_from_world(3x4) world_from_obj_lin(3x3)
+              medium -> p0 p1 obj_from_world(3x4) density radius
+  last 3      image-texture atlas metadata (y_offset, height, width),
+              present when the scene has image textures
 
-Supported scene class = ``fastpath_supported``: sphere/rect primitives,
-all four materials, constant/checker/noise textures (noise = hash-based
-fast Perlin; the table-Perlin general path remains for reference-structured
-noise), gradient/constant sky. Everything else falls back to the general
-wavefront integrator.
+Coverage: EVERY scene class — spheres (static/moving), rects, boxes,
+constant-density media, all five materials, constant/checker/noise/image
+textures, both skies. Noise uses the hash-based fast Perlin (table gathers
+would defeat the gather-free design); the general integrator remains the
+reference implementation, the differentiation path for mesh-sharded inverse
+rendering, and the home of the table-Perlin/BVH options.
 """
 
 from __future__ import annotations
@@ -168,7 +174,14 @@ def build_rect_table(scene: Scene, k_attr: int) -> jnp.ndarray:
     ]
     assert rc.count <= TILE_N, "fastpath supports at most 128 rects"
     img = _img_cols(scene, rc.mat_id) if k_attr >= 28 else None
-    return _finish_table(cols, rc.mask, GEO + 5, TILE_N, k_attr, img)  # dead: k -> 1e18
+    table = _finish_table(cols, rc.mask, GEO + 5, TILE_N, k_attr, img)
+    # dead rows additionally get an empty in-plane interval (a0 > a1)
+    dead_rows = jnp.concatenate(
+        [jnp.logical_not(rc.mask), jnp.ones(TILE_N - rc.count, bool)]
+    )
+    table = table.at[:, GEO + 1].set(jnp.where(dead_rows, 1.0, table[:, GEO + 1]))
+    table = table.at[:, GEO + 2].set(jnp.where(dead_rows, -1.0, table[:, GEO + 2]))
+    return table
 
 
 def build_box_table(scene: Scene, k_attr: int) -> jnp.ndarray:
@@ -557,6 +570,9 @@ def fast_bounce(
 
 
 def _rung(n_alive: int, minimum: int) -> int:
+    # NOTE: _rung/_compact/_final_flush intentionally mirror
+    # render/compaction.py (which serves the general integrator's state
+    # pytree); keep fixes in sync until a shared pytree-generic helper lands
     size = max(int(n_alive), minimum, 1)
     return 1 << (size - 1).bit_length()
 

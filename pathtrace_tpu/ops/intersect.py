@@ -211,7 +211,6 @@ def rect_record(rects: Rects, t, idx, ro, rd) -> HitRecord:
     b0, b1 = rects.b0[idx], rects.b1[idx]
     u = (pa - a0) / (a1 - a0)
     v = (pb - b0) / (b1 - b0)
-    normal = jnp.zeros(point.shape, point.dtype)
     one_hot = (jnp.arange(3, dtype=axis.dtype)[None, :] == axis[..., None]).astype(point.dtype)
     normal = one_hot * rects.flip[idx][..., None]
     return HitRecord(

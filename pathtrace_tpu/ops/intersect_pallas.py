@@ -268,8 +268,11 @@ def _vjp_fwd(spheres, ro, rd, time, t_min, t_max, has_motion):
     return (t, idx), (spheres, ro, rd, time, t, idx)
 
 
-def _winner_t(spheres, ro, rd, time, idx):
-    """Recompute the winning hit distance differentiably (O(R) gathers)."""
+def _winner_t(spheres, ro, rd, time, idx, t_min, t_max):
+    """Recompute the winning hit distance differentiably (O(R) gathers).
+
+    Must mirror the kernel's root selection, including the caller's
+    t_min/t_max window, or gradients flow through the wrong root."""
     c0 = spheres.center[idx]
     s = (time - spheres.time0[idx]) * spheres.inv_time_delta[idx]
     center = c0 + s[..., None] * spheres.center_delta[idx]
@@ -282,7 +285,7 @@ def _winner_t(spheres, ro, rd, time, idx):
     t0 = -b - sq
     t1 = -b + sq
     # same root selection as the kernel: prefer the near root if valid
-    use_t0 = (disc > 0.0) & (t0 > MIN_T)
+    use_t0 = (disc > 0.0) & (t0 > t_min) & (t0 < t_max)
     return jnp.where(use_t0, t0, t1)
 
 
@@ -293,7 +296,7 @@ def _vjp_bwd(t_min, t_max, has_motion, res, grads):
     g_t = jnp.where(hit, g_t, 0.0)
 
     def t_of(sph, ro_, rd_, time_):
-        return _winner_t(sph, ro_, rd_, time_, idx)
+        return _winner_t(sph, ro_, rd_, time_, idx, t_min, t_max)
 
     _, vjp = jax.vjp(t_of, spheres, ro, rd, time)
     return vjp(g_t)

@@ -148,8 +148,11 @@ def build_rect_table(scene: Scene) -> jnp.ndarray:
     table = jnp.stack(cols, axis=1)
     table = jnp.where(rc.mask[:, None], table, 0.0)
     dead = jnp.logical_not(rc.mask)
-    # dead rects: plane at infinity
+    # dead rects: plane at infinity AND an empty in-plane interval
+    # (a0 > a1), so even axis-degenerate rays cannot phantom-hit them
     table = table.at[:, 5].set(jnp.where(dead, 1.0e18, table[:, 5]))
+    table = table.at[:, 1].set(jnp.where(dead, 1.0, table[:, 1]))
+    table = table.at[:, 2].set(jnp.where(dead, -1.0, table[:, 2]))
     n_pad = TILE_N
     pad_rows = n_pad - table.shape[0]
     assert pad_rows >= 0, "megakernel supports at most TILE_N rects"

@@ -104,14 +104,17 @@ class InverseRenderer:
             from pathtrace_tpu.ops.fastpath import trace_fast_diff
             from pathtrace_tpu.render.frame import generate_primary_rays
 
-            kray, _ = jax.random.split(key)
+            kray, ktrace = jax.random.split(key)
             ro, rd, t = generate_primary_rays(
                 self.camera, self.width, self.height, self.samples, kray
             )
             R = self.height * self.width * self.samples
+            # derive the counter-hash seed from the key so different keys
+            # give independent bounce-RNG streams
+            seed = jax.random.randint(ktrace, (), 0, 2**31 - 1, dtype=jnp.int32)
             radiance, _ = trace_fast_diff(
                 scene, ro.reshape(R, 3), rd.reshape(R, 3), t.reshape(R),
-                jnp.int32(0), self.max_depth, self.features,
+                seed, self.max_depth, self.features,
             )
             return radiance.reshape(
                 self.height, self.width, self.samples, 3

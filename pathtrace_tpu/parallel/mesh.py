@@ -107,8 +107,11 @@ def render_frame_sharded(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-frame render with the sample grid sharded across the mesh.
 
-    The [H*W*S] ray axis is padded to the mesh size; padding rays alias the
-    first rays and are dropped before the sample mean.
+    The [H*W*S] ray axis is padded to the mesh size. Padding rays are born
+    dead via NaN time (the liveness init is ``time == time``) so the psum'd
+    ray_count stays exact; the differentiable path instead aliases the
+    first rays (NaN forward values would poison reverse-mode AD) and
+    accepts a <= n_dev-1 primary-ray overcount in the metric.
     """
     n_dev = mesh.devices.size
     kray, ktrace = jax.random.split(key)
@@ -122,7 +125,11 @@ def render_frame_sharded(
         pad = Rp - R
         ro = jnp.concatenate([ro, ro[:pad]], axis=0)
         rd = jnp.concatenate([rd, rd[:pad]], axis=0)
-        time = jnp.concatenate([time, time[:pad]], axis=0)
+        pad_time = (
+            time[:pad] if differentiable
+            else jnp.full((pad,), jnp.nan, time.dtype)
+        )
+        time = jnp.concatenate([time, pad_time], axis=0)
 
     radiance, ray_count = trace_sharded(
         scene, ro, rd, time, ktrace, max_depth, mesh,

@@ -14,13 +14,14 @@ import zlib
 
 import numpy as np
 
-from pathtrace_tpu.ops.math import linear_to_srgb_f32
-
 
 def to_srgb_u8(img_linear: np.ndarray) -> np.ndarray:
-    """[H, W, 3] linear float -> [H, W, 3] u8 (reference src/math.rs:36-48)."""
-    img = np.asarray(img_linear, dtype=np.float32)
-    srgb = np.asarray(linear_to_srgb_f32(img))
+    """[H, W, 3] linear float -> [H, W, 3] u8 (reference src/math.rs:36-48).
+
+    Pure numpy (host-side save path — no device round trip); the device-side
+    twin is ops.math.linear_to_srgb_u8, same curve and quantization."""
+    img = np.maximum(np.asarray(img_linear, dtype=np.float32), 0.0)
+    srgb = np.clip(1.055 * img ** np.float32(0.41666666) - 0.055, 0.0, 1.0)
     return (srgb * 255.99).astype(np.uint8)
 
 
