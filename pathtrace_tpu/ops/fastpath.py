@@ -682,6 +682,9 @@ def trace_fast_diff(
     return state.radiance, segs
 
 
+FRAME_CHUNK = 1 << 20  # rays per trace_fast launch-set (HBM temp bound)
+
+
 def render_frame_fast(
     scene: Scene,
     camera,
@@ -700,15 +703,36 @@ def render_frame_fast(
     ``frame_key`` drives primary-ray jitter (Threefry); ``seed`` must be
     frame-unique and drives the per-bounce counter-hash RNG.
     Returns (image [H, W, 3], ray_count int).
-    """
-    from pathtrace_tpu.render.frame import generate_primary_rays
 
+    Frames larger than FRAME_CHUNK rays are traced in chunks: XLA pads the
+    minor dim of [R, 3] shading temps to full lane tiles, so a noise-texture
+    bounce graph at 3.7M rays wants ~18 GB of padded HLO temps — chunking
+    bounds it. Lane ids stay globally unique so chunking never changes the
+    image.
+    """
     ro, rd, t = _gen_rays_jit(camera, width, height, samples, frame_key)
     R = height * width * samples
-    radiance, ray_count = trace_fast(
-        scene, ro.reshape(R, 3), rd.reshape(R, 3), t.reshape(R), seed,
-        max_depth, features, min_size=min_size, compaction=compaction,
-    )
+    ro = ro.reshape(R, 3)
+    rd = rd.reshape(R, 3)
+    t = t.reshape(R)
+    if R <= FRAME_CHUNK:
+        radiance, ray_count = trace_fast(
+            scene, ro, rd, t, seed, max_depth, features,
+            min_size=min_size, compaction=compaction,
+        )
+    else:
+        parts = []
+        ray_count = 0
+        for lo in range(0, R, FRAME_CHUNK):
+            hi = min(lo + FRAME_CHUNK, R)
+            rad_c, cnt_c = trace_fast(
+                scene, ro[lo:hi], rd[lo:hi], t[lo:hi], seed, max_depth,
+                features, min_size=min_size, compaction=compaction,
+                lane_offset=lo,
+            )
+            parts.append(rad_c)
+            ray_count += cnt_c
+        radiance = jnp.concatenate(parts, axis=0)
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)
     return img, ray_count
 
@@ -731,11 +755,13 @@ def trace_fast(
     min_size: int = 1 << 15,
     compaction: bool = True,
     group: int = 2,
+    lane_offset: int = 0,
 ) -> Tuple[jnp.ndarray, int]:
     """Host-driven fast trace with stream compaction.
 
     ``group`` bounces run per dispatch (amortizes ~45 ms tunnel overhead
-    per jit call). Returns (radiance [R, 3], ray_count int).
+    per jit call); ``lane_offset`` keeps RNG stream ids globally unique
+    when a frame is traced in chunks. Returns (radiance [R, 3], ray_count).
     """
     assert fastpath_supported(features)
     R = ro.shape[0]
@@ -751,7 +777,7 @@ def trace_fast(
         radiance=jnp.zeros((R, 3), ro.dtype),
         throughput=jnp.ones((R, 3), ro.dtype),
         alive=jnp.ones(R, bool),
-        lane=jnp.arange(R, dtype=jnp.uint32),
+        lane=jnp.arange(lane_offset, lane_offset + R, dtype=jnp.uint32),
     )
     ray_count = 0
     size = R
