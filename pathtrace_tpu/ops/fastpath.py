@@ -682,7 +682,14 @@ def trace_fast_diff(
     return state.radiance, segs
 
 
-FRAME_CHUNK = 1 << 20  # rays per trace_fast launch-set (HBM temp bound)
+def frame_chunk(features: SceneFeatures) -> int:
+    """Rays per trace_fast launch-set.
+
+    The padded-HLO-temp blowup is driven by the 7-octave noise graph
+    (~18 GB at 3.7M rays); scenes without noise textures have a much
+    smaller bounce graph and render whole-frame without chunking overhead.
+    """
+    return (1 << 20) if features.has_noise else (1 << 22)
 
 
 def render_frame_fast(
@@ -715,6 +722,7 @@ def render_frame_fast(
     ro = ro.reshape(R, 3)
     rd = rd.reshape(R, 3)
     t = t.reshape(R)
+    FRAME_CHUNK = frame_chunk(features)
     if R <= FRAME_CHUNK:
         radiance, ray_count = trace_fast(
             scene, ro, rd, t, seed, max_depth, features,
