@@ -50,7 +50,7 @@ def main() -> int:
     features = SceneFeatures.from_scene(scene)
     scene = jax.device_put(scene)
 
-    use_fast = fastpath_supported(features)
+    use_fast = fastpath_supported(features, scene)
 
     def run(frame):
         key = jax.random.PRNGKey(frame)

@@ -34,10 +34,10 @@ def main() -> int:
     ap.add_argument("--out", default="inverse_result.png")
     ap.add_argument(
         "--geometry", action="store_true",
-        help="Also optimize sphere centers. NOTE: visibility (silhouette) "
-             "gradients are zero under vanilla path-tracing gradients — "
-             "geometry recovery only works from shading cues; edge-aware "
-             "sampling is future work (BASELINE.json north star).",
+        help="Also optimize sphere centers (enables silhouette edge "
+             "sampling: interior autodiff alone sees zero gradient from "
+             "pure occlusion changes — ops/silhouette.py adds the boundary "
+             "term, BASELINE.json north star).",
     )
     args = ap.parse_args()
 
@@ -63,7 +63,7 @@ def main() -> int:
     renderer, state, names = make_inverse_renderer(
         scene, cam, args.size, args.size, samples=args.samples,
         max_depth=args.depth, mesh=mesh, learning_rate=args.lr,
-        trainable=trainable,
+        trainable=trainable, silhouette=args.geometry,
     )
     print(f"trainable parameters: {names}")
 

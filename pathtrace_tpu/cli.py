@@ -56,14 +56,29 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-specific
     p.add_argument("--pallas", action="store_true", help="Use the Pallas sphere kernel")
     p.add_argument(
-        "--mode", default="auto", choices=["auto", "fast", "general"],
-        help="Render path: fast (pallas + compaction) when supported, or the "
-             "general wavefront integrator",
+        "--mode", default="auto",
+        choices=["auto", "fast", "general", "compacted"],
+        help="Render path: fast (pallas + compaction) when supported, the "
+             "general wavefront integrator, or the general integrator under "
+             "the host-driven compaction ladder",
     )
     p.add_argument("--seed", type=int, default=0, help="Base RNG seed")
+    p.add_argument(
+        "--image", default=None, metavar="PNG",
+        help="Image-texture file for presets that use one (e.g. the earth "
+             "map — analog of the reference's media/earthmap.jpg load)",
+    )
     p.add_argument("--out", default="output.png", help="Output PNG path")
     p.add_argument("--checkpoint", default=None, help="Checkpoint .npz path (resume if exists)")
     p.add_argument("--snapshot-every", type=int, default=0, help="Write PNG every N frames")
+    p.add_argument(
+        "--no-preview", action="store_true",
+        help="Disable the live HTTP preview in interactive (non-offline) mode",
+    )
+    p.add_argument(
+        "--preview-port", type=int, default=0,
+        help="Port for the live preview server (0 = ephemeral)",
+    )
     p.add_argument(
         "--profile-dir", default=None,
         help="Capture a jax.profiler trace of the render into this directory",
@@ -126,7 +141,8 @@ def _run(args) -> int:
         f"generating '{args.preset}' preset at {params.width}x{params.height}"
         f" with {params.samples} samples per pixel"
     )
-    result = presets.from_name(args.preset, params.aspect, seed=params.seed)
+    result = presets.from_name(args.preset, params.aspect, seed=params.seed,
+                               image_path=args.image)
     if result is None:
         print(f"unrecognised preset '{args.preset}'", file=sys.stderr)
         return 2
@@ -135,7 +151,8 @@ def _run(args) -> int:
     print(f"scene features: {features}")
 
     if args.print_trace:
-        print_ray_trace(scene, camera, params.max_depth, seed=params.seed)
+        print_ray_trace(scene, camera, params.max_depth, seed=params.seed,
+                        use_bvh=args.bvh)
         return 0
 
     if args.offline:
@@ -154,7 +171,8 @@ def _run(args) -> int:
         print(f"wrote {args.out}")
         return 0
 
-    # progressive-refinement loop (window analog)
+    # progressive-refinement loop (window analog); the live preview IS the
+    # default display surface, like the reference's GL window (main.rs:95)
     result = render_progressive(
         scene, camera, params,
         max_frames=args.frames,
@@ -165,6 +183,8 @@ def _run(args) -> int:
         checkpoint_path=args.checkpoint,
         snapshot_path=args.out,
         snapshot_every=args.snapshot_every,
+        preview=not args.no_preview,
+        preview_port=args.preview_port,
     )
     film.save_frame_png(args.out, result.image)
     print(f"wrote {args.out} after {result.frames} frames")

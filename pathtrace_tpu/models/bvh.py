@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pathtrace_tpu.config import MAX_T, MIN_T
-from pathtrace_tpu.models.types import Spheres
+from pathtrace_tpu.models.types import MEDIUM_SPHERE, Scene, SceneFeatures, Spheres
 
 _INF = float(MAX_T)
 
@@ -284,6 +284,342 @@ def make_bvh_sphere_nearest(bvh: FlatBVH):
     def fn(spheres, ro, rd, time, t_min=MIN_T, t_max=MAX_T, has_motion=True):
         return bvh_sphere_nearest(
             bvh, spheres, ro, rd, time, t_min, t_max, has_motion=has_motion
+        )
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Whole-scene BVH: every primitive kind in one tree
+# ---------------------------------------------------------------------------
+#
+# The reference BVH wraps *arbitrary* hitables — ``BVHNode::ray_hit``
+# recurses into whatever children it was built over (reference
+# ``src/collision/bvh.rs:37-62``), so ``-B`` accelerates cornell's rects and
+# cuboids too. The TPU analog: one flat tree over the concatenation of every
+# kind's AABBs, leaves tagged with a *global* primitive id (kind blocks laid
+# out sphere | rect | box | medium, matching the fastpath table order), and a
+# leaf test that dispatches on the id's block.
+
+
+def rect_aabbs(rects):
+    """Per-rect AABBs, ±1e-4 thick along the normal axis (reference
+    ``src/collision/rect.rs:193-228``; the YZ ``k-0.0001`` max bug is
+    corrected — SURVEY.md §2)."""
+    n = rects.count
+    axis = np.asarray(rects.axis)
+    a_axis = np.where(axis == 0, 1, 0)
+    b_axis = np.where(axis == 2, 1, 2)
+    mn = np.zeros((n, 3), np.float64)
+    mx = np.zeros((n, 3), np.float64)
+    rows = np.arange(n)
+    mn[rows, axis] = np.asarray(rects.k) - 1e-4
+    mx[rows, axis] = np.asarray(rects.k) + 1e-4
+    mn[rows, a_axis] = np.asarray(rects.a0)
+    mx[rows, a_axis] = np.asarray(rects.a1)
+    mn[rows, b_axis] = np.asarray(rects.b0)
+    mx[rows, b_axis] = np.asarray(rects.b1)
+    return mn.astype(np.float32), mx.astype(np.float32)
+
+
+def _transform_aabb(world_from_obj, mn, mx):
+    """Affine-transform object AABBs to world space per-axis (reference
+    ``src/collision/aabb.rs:75-100`` sign-select form)."""
+    lin = np.asarray(world_from_obj)[:, :, :3]          # [N,3,3]
+    trans = np.asarray(world_from_obj)[:, :, 3]         # [N,3]
+    # for each output axis i: min/max over the 2 choices per input axis j
+    lo = np.where(lin > 0, lin * mn[:, None, :], lin * mx[:, None, :]).sum(axis=2)
+    hi = np.where(lin > 0, lin * mx[:, None, :], lin * mn[:, None, :]).sum(axis=2)
+    return (lo + trans).astype(np.float32), (hi + trans).astype(np.float32)
+
+
+def box_aabbs(boxes):
+    mn = np.asarray(boxes.p0, np.float64)
+    mx = np.asarray(boxes.p1, np.float64)
+    return _transform_aabb(boxes.world_from_obj, mn, mx)
+
+
+def media_aabbs(media):
+    """Boundary AABBs: transformed box, or center±|r| for sphere media."""
+    mn_b, mx_b = _transform_aabb(
+        media.world_from_obj, np.asarray(media.p0, np.float64),
+        np.asarray(media.p1, np.float64),
+    )
+    c = np.asarray(media.p0, np.float32)
+    r = np.abs(np.asarray(media.radius, np.float32))[:, None]
+    is_sph = (np.asarray(media.kind) == MEDIUM_SPHERE)[:, None]
+    mn = np.where(is_sph, c - r, mn_b)
+    mx = np.where(is_sph, c + r, mx_b)
+    return mn, mx
+
+
+def scene_aabbs(scene: Scene):
+    """AABBs for every primitive in the scene, in global-id order.
+
+    Returns (bb_min [P,3], bb_max [P,3], mask [P], offsets) where offsets =
+    (sphere, rect, box, medium) block starts; global id = offset + local id.
+    """
+    s_mn, s_mx = sphere_aabbs(scene.spheres)
+    r_mn, r_mx = rect_aabbs(scene.rects)
+    b_mn, b_mx = box_aabbs(scene.boxes)
+    m_mn, m_mx = media_aabbs(scene.media)
+    mn = np.concatenate([s_mn, r_mn, b_mn, m_mn], axis=0)
+    mx = np.concatenate([s_mx, r_mx, b_mx, m_mx], axis=0)
+    mask = np.concatenate(
+        [
+            np.asarray(scene.spheres.mask),
+            np.asarray(scene.rects.mask),
+            np.asarray(scene.boxes.mask),
+            np.asarray(scene.media.mask),
+        ]
+    )
+    ns, nr, nb = s_mn.shape[0], r_mn.shape[0], b_mn.shape[0]
+    offsets = (0, ns, ns + nr, ns + nr + nb)
+    return mn, mx, mask, offsets
+
+
+def build_scene_bvh(scene: Scene, seed: int = 0, use_native: bool = True):
+    """Build the whole-scene BVH (all kinds). Returns (flat, stats, offsets)."""
+    mn, mx, mask, offsets = scene_aabbs(scene)
+    flat, stats = build_flat_bvh(mn, mx, mask=mask, seed=seed,
+                                 use_native=use_native)
+    return flat, stats, offsets
+
+
+def _leaf_candidate(scene, gid, offsets, features, ro, rd, time, med_u,
+                    best_t, t_min):
+    """Candidate hit t for one primitive per ray (gid is per-ray).
+
+    Dispatches on the gid's kind block; each kind's math mirrors its
+    brute-force ``*_nearest`` twin in :mod:`pathtrace_tpu.ops.intersect` so
+    BVH and brute force select the same winners.
+    """
+    off_s, off_r, off_b, off_m = offsets
+    INF = jnp.float32(_INF)
+    cand = jnp.full(gid.shape, _INF, jnp.float32)
+
+    if features.has_spheres:
+        pid = jnp.clip(gid - off_s, 0, scene.spheres.count - 1)
+        c0 = scene.spheres.center[pid]
+        if features.has_motion:
+            s = (time - scene.spheres.time0[pid]) * scene.spheres.inv_time_delta[pid]
+            c0 = c0 + s[..., None] * scene.spheres.center_delta[pid]
+        radius = scene.spheres.radius[pid]
+        oc = ro - c0
+        b = jnp.sum(oc * rd, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - radius * radius
+        disc = b * b - c                      # |rd| == 1 wavefront-wide
+        sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+        t0 = -b - sq
+        t1 = -b + sq
+        valid = (disc > 0.0) & scene.spheres.mask[pid]
+        t0_ok = valid & (t0 > t_min) & (t0 < best_t)
+        t1_ok = valid & (t1 > t_min) & (t1 < best_t)
+        t_s = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, INF))
+        cand = jnp.where(gid < off_r, t_s, cand)
+
+    if features.has_rects:
+        pid = jnp.clip(gid - off_r, 0, scene.rects.count - 1)
+        axis = scene.rects.axis[pid]
+        a_axis = jnp.where(axis == 0, 1, 0)
+        b_axis = jnp.where(axis == 2, 1, 2)
+        ga = lambda arr, ax: jnp.take_along_axis(arr, ax[..., None], axis=-1)[..., 0]
+        d_n = ga(rd, axis)
+        d_n = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
+        t_r = (scene.rects.k[pid] - ga(ro, axis)) / d_n
+        pa = ga(ro, a_axis) + t_r * ga(rd, a_axis)
+        pb = ga(ro, b_axis) + t_r * ga(rd, b_axis)
+        ok = (
+            scene.rects.mask[pid]
+            & (t_r > t_min) & (t_r < best_t)
+            & (pa >= scene.rects.a0[pid]) & (pa <= scene.rects.a1[pid])
+            & (pb >= scene.rects.b0[pid]) & (pb <= scene.rects.b1[pid])
+        )
+        t_r = jnp.where(ok, t_r, INF)
+        cand = jnp.where((gid >= off_r) & (gid < off_b), t_r, cand)
+
+    if features.has_boxes:
+        pid = jnp.clip(gid - off_b, 0, scene.boxes.count - 1)
+        ofw = scene.boxes.obj_from_world[pid]            # [R,3,4]
+        ro_o = jnp.einsum("rij,rj->ri", ofw[:, :, :3], ro) + ofw[:, :, 3]
+        rd_o = jnp.einsum("rij,rj->ri", ofw[:, :, :3], rd)
+        rd_o = jnp.where(jnp.abs(rd_o) < 1e-12, 1e-12, rd_o)
+        rcp = 1.0 / rd_o
+        d0 = (scene.boxes.p0[pid] - ro_o) * rcp
+        d1 = (scene.boxes.p1[pid] - ro_o) * rcp
+        t_enter = jnp.max(jnp.minimum(d0, d1), axis=-1)
+        t_exit = jnp.min(jnp.maximum(d0, d1), axis=-1)
+        crosses = (t_exit > t_enter) & scene.boxes.mask[pid]
+        enter_ok = crosses & (t_enter > t_min) & (t_enter < best_t)
+        exit_ok = crosses & (t_enter <= t_min) & (t_exit > t_min) & (t_exit < best_t)
+        t_b = jnp.where(enter_ok, t_enter, jnp.where(exit_ok, t_exit, INF))
+        cand = jnp.where((gid >= off_b) & (gid < off_m), t_b, cand)
+
+    if features.has_media:
+        pid = jnp.clip(gid - off_m, 0, scene.media.count - 1)
+        ofw = scene.media.obj_from_world[pid]
+        ro_o = jnp.einsum("rij,rj->ri", ofw[:, :, :3], ro) + ofw[:, :, 3]
+        rd_o = jnp.einsum("rij,rj->ri", ofw[:, :, :3], rd)
+        rd_o = jnp.where(jnp.abs(rd_o) < 1e-12, 1e-12, rd_o)
+        rcp = 1.0 / rd_o
+        d0 = (scene.media.p0[pid] - ro_o) * rcp
+        d1 = (scene.media.p1[pid] - ro_o) * rcp
+        t1b = jnp.max(jnp.minimum(d0, d1), axis=-1)
+        t2b = jnp.min(jnp.maximum(d0, d1), axis=-1)
+        box_crosses = t2b > t1b
+        # sphere boundary (centers in p0)
+        oc = ro - scene.media.p0[pid]
+        b = jnp.sum(oc * rd, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - scene.media.radius[pid] ** 2
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+        is_sph = scene.media.kind[pid] == MEDIUM_SPHERE
+        t1_ = jnp.where(is_sph, -b - sq, t1b)
+        t2_ = jnp.where(is_sph, -b + sq, t2b)
+        crosses = jnp.where(is_sph, disc > 0.0, box_crosses) & scene.media.mask[pid]
+        # same clamping as media_nearest; comparing the candidate against
+        # best_t afterwards is equivalent to the reference's shrinking t_max
+        t1_ = jnp.maximum(t1_, t_min)
+        ok = crosses & (t1_ < t2_)
+        t1_ = jnp.maximum(t1_, 0.0)
+        u = jnp.take_along_axis(med_u, pid[..., None], axis=-1)[..., 0]
+        flight = -jnp.log(jnp.maximum(u, 1e-38)) / scene.media.density[pid]
+        inside = flight < (t2_ - t1_)
+        t_m = jnp.where(ok & inside & (t1_ + flight < best_t), t1_ + flight, INF)
+        cand = jnp.where(gid >= off_m, t_m, cand)
+
+    return cand
+
+
+def bvh_scene_nearest(
+    bvh: FlatBVH,
+    scene: Scene,
+    ro,
+    rd,
+    time,
+    med_u,
+    t_min=MIN_T,
+    t_max=MAX_T,
+    features: Optional[SceneFeatures] = None,
+    offsets=(0, 0, 0, 0),
+):
+    """Stackless wavefront traversal over the whole-scene BVH.
+
+    Returns (t [R], gid [R]) with gid a *global* primitive id. Functional
+    match of ``BVHNode::ray_hit`` over mixed hitables (reference
+    ``src/collision/bvh.rs:37-62``) — same winners as the brute-force
+    per-kind argmin combine in ``ops.intersect.intersect_scene``.
+    """
+    f = features or SceneFeatures.all_on()
+    n_nodes = bvh.n_nodes
+    bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
+    scene = jax.tree_util.tree_map(jnp.asarray, scene)
+    R = ro.shape[0]
+    rcp = 1.0 / jnp.where(jnp.abs(rd) < 1e-12, 1e-12, rd)
+
+    def cond(state):
+        cursor, best_t, best_i, it = state
+        return jnp.any(cursor < n_nodes) & (it < 4 * n_nodes)
+
+    def body(state):
+        cursor, best_t, best_i, it = state
+        active = cursor < n_nodes
+        cur = jnp.minimum(cursor, n_nodes - 1)
+        mn = bvh.bb_min[cur]
+        mx = bvh.bb_max[cur]
+        prim = bvh.prim[cur]
+        esc = bvh.escape[cur]
+
+        d0 = (mn - ro) * rcp
+        d1 = (mx - ro) * rcp
+        tn = jnp.max(jnp.minimum(d0, d1), axis=-1)
+        tf = jnp.min(jnp.maximum(d0, d1), axis=-1)
+        box_hit = jnp.minimum(tf, best_t) > jnp.maximum(tn, t_min)
+
+        is_leaf = prim >= 0
+        do_test = active & box_hit & is_leaf
+        gid = jnp.where(do_test, prim, 0)
+        cand = _leaf_candidate(
+            scene, gid, offsets, f, ro, rd, time, med_u, best_t, t_min
+        )
+        better = do_test & (cand < best_t)
+        best_t = jnp.where(better, cand, best_t)
+        best_i = jnp.where(better, gid, best_i)
+
+        descend = active & box_hit & jnp.logical_not(is_leaf)
+        nxt = jnp.where(descend, cur + 1, esc)
+        cursor = jnp.where(active, nxt, cursor)
+        return cursor, best_t, best_i, it + 1
+
+    init = (
+        jnp.zeros(R, jnp.int32),
+        jnp.full(R, t_max, jnp.float32),
+        jnp.zeros(R, jnp.int32),
+        jnp.int32(0),
+    )
+    _, best_t, best_i, _ = jax.lax.while_loop(cond, body, init)
+    best_t = jnp.where(best_t < t_max, best_t, jnp.float32(_INF))
+    return best_t, best_i
+
+
+def scene_record_from_gid(scene: Scene, t, gid, ro, rd, time, offsets,
+                          features: Optional[SceneFeatures] = None):
+    """Hit record for global-id winners: per-kind record + range select.
+
+    Reuses the per-kind ``*_record`` builders from ``ops.intersect`` so
+    normals/UVs/material ids are identical to the brute-force path.
+    """
+    from pathtrace_tpu.ops import intersect as isect
+
+    f = features or SceneFeatures.all_on()
+    off_s, off_r, off_b, off_m = offsets
+    rec = None
+
+    def merge(rec, nxt, in_kind):
+        return nxt if rec is None else isect._select_record(
+            jnp.logical_not(in_kind), rec, nxt
+        )
+
+    INF = jnp.float32(_INF)
+    if f.has_spheres:
+        in_k = (t < INF) & (gid < off_r)
+        pid = jnp.clip(gid - off_s, 0, scene.spheres.count - 1)
+        t_k = jnp.where(in_k, t, INF)
+        rec = merge(rec, isect.sphere_record(
+            scene.spheres, t_k, pid, ro, rd, time, with_uv=f.has_image
+        ), in_k)
+    if f.has_rects:
+        in_k = (t < INF) & (gid >= off_r) & (gid < off_b)
+        pid = jnp.clip(gid - off_r, 0, scene.rects.count - 1)
+        t_k = jnp.where(in_k, t, INF)
+        rec = merge(rec, isect.rect_record(scene.rects, t_k, pid, ro, rd), in_k)
+    if f.has_boxes:
+        in_k = (t < INF) & (gid >= off_b) & (gid < off_m)
+        pid = jnp.clip(gid - off_b, 0, scene.boxes.count - 1)
+        t_k = jnp.where(in_k, t, INF)
+        rec = merge(rec, isect.box_record(scene.boxes, t_k, pid, ro, rd), in_k)
+    if f.has_media:
+        in_k = (t < INF) & (gid >= off_m)
+        pid = jnp.clip(gid - off_m, 0, scene.media.count - 1)
+        t_k = jnp.where(in_k, t, INF)
+        rec = merge(rec, isect.media_record(scene.media, t_k, pid, ro, rd), in_k)
+    if rec is None:
+        rec = isect._miss_record(ro)
+    # a winner exists wherever t is finite; per-kind records already carry
+    # hit=False on their INF lanes, so the merged record is consistent
+    return rec
+
+
+def make_bvh_intersect_fn(bvh: FlatBVH, offsets, features: SceneFeatures):
+    """Bind a whole-scene BVH into the integrator's ``intersect_fn`` slot."""
+
+    def fn(scene, ro, rd, time, med_u, t_min=MIN_T, t_max=MAX_T):
+        t, gid = bvh_scene_nearest(
+            bvh, scene, ro, rd, time, med_u, t_min, t_max,
+            features=features, offsets=offsets,
+        )
+        return scene_record_from_gid(
+            scene, t, gid, ro, rd, time, offsets, features=features
         )
 
     return fn

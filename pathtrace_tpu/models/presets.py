@@ -226,10 +226,15 @@ def _procedural_earth_image(size: int = 256, seed: int = 7) -> np.ndarray:
     return img
 
 
-def earth(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
-    """Image-textured globe (src/presets.rs:555-593)."""
+def earth(aspect: float, seed: int = 0, image_path: str = None) -> Tuple[Scene, Camera]:
+    """Image-textured globe (src/presets.rs:555-593).
+
+    ``image_path``: optional user-supplied PNG (the reference loads
+    ``media/earthmap.jpg`` at runtime — a file its repo doesn't ship);
+    defaults to the synthesized stand-in so the preset runs out of the box.
+    """
     b = SceneBuilder(perlin_rng=np.random.default_rng(seed))
-    tex = b.image_texture(_procedural_earth_image())
+    tex = b.image_texture(image_path if image_path else _procedural_earth_image())
     b.sphere((0.0, 0.0, 0.0), 2.0, b.lambertian(tex))
     return b.finish(), _standard_camera(aspect, time1=0.0, aperture=0.0)
 
@@ -278,9 +283,14 @@ def names():
     return sorted(_REGISTRY)
 
 
-def from_name(name: str, aspect: float, seed: int = 0) -> Optional[Tuple[Scene, Camera]]:
-    """Preset registry lookup (reference src/presets.rs:13-38)."""
+def from_name(name: str, aspect: float, seed: int = 0,
+              image_path: str = None) -> Optional[Tuple[Scene, Camera]]:
+    """Preset registry lookup (reference src/presets.rs:13-38).
+
+    ``image_path`` feeds presets with image textures (``earth``)."""
     fn = _REGISTRY.get(name)
     if fn is None:
         return None
+    if name == "earth" and image_path:
+        return fn(aspect, seed=seed, image_path=image_path)
     return fn(aspect, seed=seed)

@@ -51,6 +51,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pathtrace_tpu.config import MAX_T, MIN_T
+from pathtrace_tpu.render.compact_util import (
+    compact as _compact,
+    final_flush as _final_flush,
+    rung as _rung,
+)
 from pathtrace_tpu.models.types import (
     MAT_DIELECTRIC,
     MAT_DIFFUSE_LIGHT,
@@ -87,8 +92,14 @@ def attr_width(features: SceneFeatures) -> int:
     return 28 if features.has_image else 24
 
 
-def fastpath_supported(features: SceneFeatures) -> bool:
-    return True  # every scene class is covered (kept for future gating)
+def fastpath_supported(features: SceneFeatures, scene: Scene = None) -> bool:
+    """Every scene class is covered; the one capacity limit is the rect
+    table (one 128-lane tile). Pass the scene to gate on it — rect-heavy
+    user scenes fall back to the general integrator instead of tripping
+    the ``build_rect_table`` assert."""
+    if scene is not None and scene.rects.count > TILE_N:
+        return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +302,10 @@ def counter_uniform(lane_u32, seed: jnp.ndarray, depth, draw: int):
     h = h + jnp.asarray(depth, jnp.uint32) * jnp.uint32(1013904223)
     h = h + jnp.uint32((draw * 374761393) & 0xFFFFFFFF)
     h = _mix32(h)
-    return (h >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+    # h>>8 < 2^24 so the int32 round-trip is exact; Mosaic (the Pallas
+    # shading twin) has no uint32->f32 cast, and both paths must share one
+    # formula for bit parity
+    return (h >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / 16777216.0)
 
 
 def _hash3(ix, iy, iz):
@@ -309,9 +323,16 @@ def _hash_unit(h):
     return (h >> 8).astype(jnp.int32).astype(jnp.float32) * (2.0 / 16777216.0) - 1.0
 
 
-def fast_noise(p):
-    """Hash-gradient Hermite noise (table-free twin of ops.perlin.noise)."""
-    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+def cbrt_pos(x):
+    """cbrt for x in [0, 1) via exp/log — the one form both XLA and Mosaic
+    lower identically (Mosaic has no cbrt op; bit-parity between the XLA
+    and Pallas shading paths requires using the same formula in both)."""
+    return jnp.exp(jnp.log(jnp.maximum(x, 1e-38)) * (1.0 / 3.0))
+
+
+def fast_noise_c(px, py, pz):
+    """Hash-gradient Hermite noise on component arrays (table-free twin of
+    ops.perlin.noise; shared verbatim by the XLA and Pallas shading paths)."""
     fx, fy, fz = jnp.floor(px), jnp.floor(py), jnp.floor(pz)
     ix, iy, iz = fx.astype(jnp.int32), fy.astype(jnp.int32), fz.astype(jnp.int32)
     u, v, w = px - fx, py - fy, pz - fz
@@ -334,15 +355,23 @@ def fast_noise(p):
     return accum
 
 
-def fast_turb(p, octaves: int = 7):
-    accum = jnp.zeros(p.shape[:-1], p.dtype)
+def fast_noise(p):
+    """Hash-gradient Hermite noise (table-free twin of ops.perlin.noise)."""
+    return fast_noise_c(p[..., 0], p[..., 1], p[..., 2])
+
+
+def fast_turb_c(px, py, pz, octaves: int = 7):
+    accum = jnp.zeros_like(px)
     weight = 1.0
-    sp = p
     for _ in range(octaves):
-        accum = accum + weight * fast_noise(sp)
+        accum = accum + weight * fast_noise_c(px, py, pz)
         weight *= 0.5
-        sp = sp * 2.0
+        px, py, pz = px * 2.0, py * 2.0, pz * 2.0
     return jnp.abs(accum)
+
+
+def fast_turb(p, octaves: int = 7):
+    return fast_turb_c(p[..., 0], p[..., 1], p[..., 2], octaves)
 
 
 class FastState(NamedTuple):
@@ -353,6 +382,31 @@ class FastState(NamedTuple):
     throughput: jnp.ndarray  # [R, 3]
     alive: jnp.ndarray       # [R] bool
     lane: jnp.ndarray        # [R] uint32 — RNG stream id (stable under compaction)
+
+
+class FastStateP(NamedTuple):
+    """Plane-form wavefront state for the fused Pallas shading path.
+
+    Every component is its own packed [R] array: reshaping [R] to the
+    (R/128, 128) lane tile the kernel wants is a free layout no-op, whereas
+    [R, 3] state pads its minor dim to 128 lanes at every XLA fusion
+    boundary (the measured dominant cost of the XLA shading path)."""
+
+    rox: jnp.ndarray
+    roy: jnp.ndarray
+    roz: jnp.ndarray
+    rdx: jnp.ndarray
+    rdy: jnp.ndarray
+    rdz: jnp.ndarray
+    time: jnp.ndarray
+    rad_r: jnp.ndarray
+    rad_g: jnp.ndarray
+    rad_b: jnp.ndarray
+    thr_r: jnp.ndarray
+    thr_g: jnp.ndarray
+    thr_b: jnp.ndarray
+    alive: jnp.ndarray       # [R] bool
+    lane: jnp.ndarray        # [R] uint32
 
 
 def fast_bounce(
@@ -450,12 +504,40 @@ def fast_bounce(
         )
         rgb = jnp.where((tex_kind == TEX_NOISE)[:, None], marble[:, None], rgb)
     if f.has_image:
-        # sphere UV from the unit normal (reference src/material.rs:41-49);
-        # image textures on non-sphere kinds are not used by any preset
+        # sphere UV from the unit normal (reference src/material.rs:41-49)
         phi = jnp.arctan2(normal[:, 0], normal[:, 1])
         theta = jnp.arcsin(jnp.clip(normal[:, 1], -1.0, 1.0))
         uu = 1.0 - (phi + 3.14159265) * (0.5 / 3.14159265)
         vv = (theta + 1.5707963) * (1.0 / 3.14159265)
+        if f.has_rects:
+            # rect UV: in-plane interval fractions (reference rect.rs:93-160)
+            axis_r = attrs[:, GEO + 0].astype(jnp.int32)
+            a_ax = jnp.where(axis_r == 0, 1, 0)
+            b_ax = jnp.where(axis_r == 2, 1, 2)
+            ga = lambda ax: jnp.take_along_axis(point, ax[:, None], axis=-1)[:, 0]
+            da = attrs[:, GEO + 2] - attrs[:, GEO + 1]
+            db = attrs[:, GEO + 4] - attrs[:, GEO + 3]
+            da = jnp.where(jnp.abs(da) < 1e-12, 1.0, da)
+            db = jnp.where(jnp.abs(db) < 1e-12, 1.0, db)
+            u_r = (ga(a_ax) - attrs[:, GEO + 1]) / da
+            v_r = (ga(b_ax) - attrs[:, GEO + 3]) / db
+            uu = jnp.where(kind == KIND_RECT, u_r, uu)
+            vv = jnp.where(kind == KIND_RECT, v_r, vv)
+        if f.has_boxes:
+            # box UV: face parameterization in object space, reusing the
+            # normal pass's winner-transformed ray (ro_o/rd_o/face_axis)
+            p_obj = ro_o + t_safe[:, None] * rd_o
+            a_ax = jnp.where(face_axis == 0, 1, 0)
+            b_ax = jnp.where(face_axis == 2, 1, 2)
+            gp = lambda arr, ax: jnp.take_along_axis(arr, ax[:, None], axis=-1)[:, 0]
+            da = gp(bp1, a_ax) - gp(bp0, a_ax)
+            db = gp(bp1, b_ax) - gp(bp0, b_ax)
+            da = jnp.where(jnp.abs(da) < 1e-12, 1.0, da)
+            db = jnp.where(jnp.abs(db) < 1e-12, 1.0, db)
+            u_b = (gp(p_obj, a_ax) - gp(bp0, a_ax)) / da
+            v_b = (gp(p_obj, b_ax) - gp(bp0, b_ax)) / db
+            uu = jnp.where(kind == KIND_BOX, u_b, uu)
+            vv = jnp.where(kind == KIND_BOX, v_b, vv)
         k_attr = attrs.shape[1]
         img_y = attrs[:, k_attr - 3]
         img_h = attrs[:, k_attr - 2]
@@ -533,7 +615,7 @@ def fast_bounce(
 
     if f.has_metal:
         fuzz = attrs[:, 1]
-        rad3 = jnp.cbrt(u3)
+        rad3 = cbrt_pos(u3)
         metal_dir = reflected + (fuzz * rad3)[:, None] * unit
         is_metal = mat_kind == float(MAT_METAL)
         direction = jnp.where(is_metal[:, None], metal_dir, direction)
@@ -569,14 +651,6 @@ def fast_bounce(
     )
 
 
-def _rung(n_alive: int, minimum: int) -> int:
-    # NOTE: _rung/_compact/_final_flush intentionally mirror
-    # render/compaction.py (which serves the general integrator's state
-    # pytree); keep fixes in sync until a shared pytree-generic helper lands
-    size = max(int(n_alive), minimum, 1)
-    return 1 << (size - 1).bit_length()
-
-
 @functools.partial(
     jax.jit, static_argnames=("max_depth", "features", "group")
 )
@@ -598,29 +672,78 @@ def _bounce_group_jit(tables, sky, grad_sky, state, seed,
     return state, segs
 
 
-@functools.partial(jax.jit, static_argnames=("next_size",), donate_argnums=(0,))
-def _compact(out_radiance, state: FastState, indices, next_size: int):
-    out_radiance = out_radiance.at[indices].add(state.radiance)
-    order = jnp.argsort(jnp.logical_not(state.alive), stable=True)
-    perm = order[:next_size]
-    return (
-        out_radiance,
-        FastState(
-            ro=state.ro[perm],
-            rd=state.rd[perm],
-            time=state.time[perm],
-            radiance=jnp.zeros((next_size, 3), state.radiance.dtype),
-            throughput=state.throughput[perm],
-            alive=state.alive[perm],
-            lane=state.lane[perm],
-        ),
-        indices[perm],
+def fast_bounce_fused(
+    tables, sky, use_gradient_sky, state: FastStateP,
+    seed, depth, max_depth: int, features: SceneFeatures, scene=None,
+):
+    """Plane-form bounce: Pallas closest hit + ONE row gather + Pallas
+    fused shading. Bit-identical to :func:`fast_bounce` (same hit kernel,
+    same winner rows, op-for-op identical shading math — enforced by
+    tests/test_shade_pallas.py); sphere/rect scenes only (see
+    ``shade_pallas.fused_shade_supported``)."""
+    from pathtrace_tpu.ops import intersect as isect
+    from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas_cols
+    from pathtrace_tpu.ops.shade_pallas import shade_bounce_planes
+
+    f = features
+    sph_table, rect_table = tables[0], tables[1]
+    if f.has_spheres:
+        t, idx = sphere_nearest_pallas_cols(
+            scene.spheres, state.rox, state.roy, state.roz,
+            state.rdx, state.rdy, state.rdz, state.time,
+            MIN_T, MAX_T, has_motion=bool(f.has_motion),
+        )
+    else:
+        t = jnp.full(state.rox.shape, _INF, state.rox.dtype)
+        idx = jnp.zeros(state.rox.shape, jnp.int32)
+    if f.has_rects:
+        t_r, i_r = isect.rect_nearest_cols(
+            scene.rects, state.rox, state.roy, state.roz,
+            state.rdx, state.rdy, state.rdz,
+        )
+        wins = t_r < t
+        t = jnp.where(wins, t_r, t)
+        idx = jnp.where(wins, sph_table.shape[0] + i_r, idx)
+    table = jnp.concatenate([sph_table, rect_table], axis=0)
+    attrs = table[idx]                                   # ONE row gather
+    attr_planes = [attrs[:, k] for k in range(attrs.shape[1])]
+
+    state_planes = {
+        "rox": state.rox, "roy": state.roy, "roz": state.roz,
+        "rdx": state.rdx, "rdy": state.rdy, "rdz": state.rdz,
+        "time": state.time,
+        "thr_r": state.thr_r, "thr_g": state.thr_g, "thr_b": state.thr_b,
+        "rad_r": state.rad_r, "rad_g": state.rad_g, "rad_b": state.rad_b,
+        "alive": state.alive.astype(state.rox.dtype),
+        "lane": state.lane.astype(jnp.int32),
+    }
+    outs = shade_bounce_planes(
+        t, attr_planes, state_planes, seed, depth, sky, use_gradient_sky,
+        features, max_depth,
+    )
+    return state._replace(
+        rox=outs[0], roy=outs[1], roz=outs[2],
+        rdx=outs[3], rdy=outs[4], rdz=outs[5],
+        rad_r=outs[6], rad_g=outs[7], rad_b=outs[8],
+        thr_r=outs[9], thr_g=outs[10], thr_b=outs[11],
+        alive=outs[12] > 0.5,
     )
 
 
-@jax.jit
-def _final_flush(out_radiance, state, indices):
-    return out_radiance.at[indices].add(state.radiance)
+@functools.partial(
+    jax.jit, static_argnames=("max_depth", "features", "group")
+)
+def _bounce_group_fused_jit(tables, sky, grad_sky, state, seed,
+                            depth0, max_depth, features, scene,
+                            group: int = 1):
+    segs = jnp.int32(0)
+    for g in range(group):
+        segs = segs + jnp.sum(state.alive, dtype=jnp.int32)
+        state = fast_bounce_fused(
+            tables, sky, grad_sky, state, seed, depth0 + g,
+            max_depth, features, scene=scene,
+        )
+    return state, segs
 
 
 @functools.partial(jax.jit, static_argnames=("features",))
@@ -772,43 +895,103 @@ def trace_fast(
     when a frame is traced in chunks. Returns (radiance [R, 3], ray_count).
     """
     assert fastpath_supported(features)
-    R = ro.shape[0]
+    from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
+
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
 
-    out_radiance = jnp.zeros((R, 3), ro.dtype)
-    indices = jnp.arange(R, dtype=jnp.int32)
+    if fused_shade_supported(features):
+        # fused path: plane-form state + Pallas shading (sphere/rect scenes);
+        # pad to 1024-ray multiples so plane blocks satisfy the Mosaic
+        # sublane-divisibility constraint (compaction rungs below 1024 are
+        # powers of two and use whole-plane blocks)
+        R0 = ro.shape[0]
+        Rp = ((R0 + 1023) // 1024) * 1024 if R0 >= 1024 else (
+            ((R0 + 127) // 128) * 128
+        )
+
+        def padp(x):
+            if Rp == R0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.zeros((Rp - R0,) + x.shape[1:], x.dtype)]
+            )
+
+        state = FastStateP(
+            rox=padp(ro[:, 0]), roy=padp(ro[:, 1]), roz=padp(ro[:, 2]),
+            rdx=padp(rd[:, 0]), rdy=padp(rd[:, 1]), rdz=padp(rd[:, 2]),
+            time=padp(time),
+            rad_r=jnp.zeros(Rp, ro.dtype), rad_g=jnp.zeros(Rp, ro.dtype),
+            rad_b=jnp.zeros(Rp, ro.dtype),
+            thr_r=jnp.ones(Rp, ro.dtype), thr_g=jnp.ones(Rp, ro.dtype),
+            thr_b=jnp.ones(Rp, ro.dtype),
+            # padded lanes are born dead: they cost no rays and flush zeros
+            alive=jnp.arange(Rp) < R0,
+            lane=jnp.arange(lane_offset, lane_offset + Rp, dtype=jnp.uint32),
+        )
+
+        def step(state, depth, g):
+            return _bounce_group_fused_jit(
+                tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
+                max_depth, features, scene, group=g,
+            )
+
+        # fused bounce graphs are small (no [R,3] fusion temps), so bounce
+        # grouping is safe at every wavefront size
+        out_radiance, ray_count = _host_ladder(
+            step, state, Rp, max_depth, max(min_size, 128), compaction, group,
+            group_size_cap=None,
+            radiance_fields=("rad_r", "rad_g", "rad_b"),
+        )
+        return out_radiance[:R0], ray_count
+
     state = FastState(
         ro=ro,
         rd=rd,
         time=time,
-        radiance=jnp.zeros((R, 3), ro.dtype),
-        throughput=jnp.ones((R, 3), ro.dtype),
-        alive=jnp.ones(R, bool),
-        lane=jnp.arange(lane_offset, lane_offset + R, dtype=jnp.uint32),
+        radiance=jnp.zeros(ro.shape, ro.dtype),
+        throughput=jnp.ones(ro.shape, ro.dtype),
+        alive=jnp.ones(ro.shape[0], bool),
+        lane=jnp.arange(lane_offset, lane_offset + ro.shape[0], dtype=jnp.uint32),
     )
+
+    def step(state, depth, g):
+        return _bounce_group_jit(
+            tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
+            max_depth, features, scene, group=g,
+        )
+
+    # group bounces only for small wavefronts on this path: at large R the
+    # XLA buffer assignment of a multi-bounce program balloons (measured
+    # 21 GB at 3.7M rays x 2 bounces)
+    return _host_ladder(
+        step, state, ro.shape[0], max_depth, min_size, compaction, group,
+        group_size_cap=1 << 19, radiance_fields=("radiance",),
+    )
+
+
+def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
+                 group_size_cap, radiance_fields):
+    """Host-driven bounce loop with the lagged-sync compaction ladder.
+
+    Lagged alive counts: the device->host readback costs a full tunnel
+    round-trip (~tens of ms), so each group's count is consumed one group
+    LATER, by which time it has already arrived — no stall. Safe because
+    the alive set only shrinks: a lagged count is an upper bound, so
+    compaction to rung(lagged) can never drop a live ray, and the
+    termination check is merely one group conservative.
+    """
+    dtype = state.thr_r.dtype if hasattr(state, "thr_r") else state.radiance.dtype
+    out_radiance = jnp.zeros((R, 3), dtype)
+    indices = jnp.arange(R, dtype=jnp.int32)
     ray_count = 0
     size = R
-    # Lagged alive counts: the device->host readback costs a full tunnel
-    # round-trip (~tens of ms), so each group's count is consumed one group
-    # LATER, by which time it has already arrived — no stall. Safe because
-    # the alive set only shrinks: a lagged count is an upper bound, so
-    # compaction to rung(lagged) can never drop a live ray, and the
-    # termination check is merely one group conservative.
     pending = None   # (device alive-after, device segs-in-group)
     depth = 0
     while depth <= max_depth:
-        # group bounces only for small wavefronts: at large R the XLA
-        # buffer assignment of a multi-bounce program balloons (measured
-        # 21 GB at 3.7M rays x 2 bounces), and dispatch overhead is a small
-        # fraction there anyway
-        g_mem = group if size <= (1 << 19) else 1
+        g_mem = group if (group_size_cap is None or size <= group_size_cap) else 1
         g = min(g_mem, max_depth + 1 - depth)
-        state, segs = _bounce_group_jit(
-            tables, sky, grad_sky, state,
-            seed_arr, jnp.int32(depth), max_depth, features,
-            scene, group=g,
-        )
+        state, segs = step(state, depth, g)
         depth += g
         new_pending = (jnp.sum(state.alive), segs)
         if pending is not None:
@@ -821,12 +1004,14 @@ def trace_fast(
                 next_size = _rung(int(lag_alive), min_size)
                 if next_size <= size // 2:
                     out_radiance, state, indices = _compact(
-                        out_radiance, state, indices, next_size
+                        out_radiance, state, indices, next_size,
+                        radiance_fields=radiance_fields,
                     )
                     size = next_size
         pending = new_pending
     if pending is not None:
         ray_count += int(pending[1])
 
-    out_radiance = _final_flush(out_radiance, state, indices)
+    out_radiance = _final_flush(out_radiance, state, indices,
+                                radiance_fields=radiance_fields)
     return out_radiance, ray_count

@@ -198,6 +198,45 @@ def rect_nearest(rects: Rects, ro, rd, t_min=MIN_T, t_max=MAX_T):
     return tbest, idx.astype(jnp.int32)
 
 
+def rect_nearest_cols(rects: Rects, rox, roy, roz, rdx, rdy, rdz,
+                      t_min=MIN_T, t_max=MAX_T):
+    """Plane-input twin of :func:`rect_nearest` (ray components as [R]
+    arrays; per-rect axis selects replace the [R, N] axis gathers — the
+    selected values are identical)."""
+    axis = rects.axis[None, :]                          # [1,N]
+
+    def sel(x, y, z):
+        return jnp.where(
+            axis == 0, x[:, None], jnp.where(axis == 1, y[:, None], z[:, None])
+        )
+
+    o_n = sel(rox, roy, roz)                            # [R,N]
+    d_n = sel(rdx, rdy, rdz)
+    # in-plane axes: a = (axis==0 ? y : x), b = (axis==2 ? y : z)
+    o_a = jnp.where(axis == 0, roy[:, None], rox[:, None])
+    d_a = jnp.where(axis == 0, rdy[:, None], rdx[:, None])
+    o_b = jnp.where(axis == 2, roy[:, None], roz[:, None])
+    d_b = jnp.where(axis == 2, rdy[:, None], rdz[:, None])
+
+    d_n = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
+    t = (rects.k[None, :] - o_n) / d_n
+    pa = o_a + t * d_a
+    pb = o_b + t * d_b
+    ok = (
+        rects.mask[None, :]
+        & (t > t_min)
+        & (t < t_max)
+        & (pa >= rects.a0[None, :])
+        & (pa <= rects.a1[None, :])
+        & (pb >= rects.b0[None, :])
+        & (pb <= rects.b1[None, :])
+    )
+    t_cand = jnp.where(ok, t, _INF)
+    idx = jnp.argmin(t_cand, axis=-1)
+    tbest = jnp.take_along_axis(t_cand, idx[..., None], axis=-1)[..., 0]
+    return tbest, idx.astype(jnp.int32)
+
+
 def rect_record(rects: Rects, t, idx, ro, rd) -> HitRecord:
     hit = t < _INF
     t_safe = jnp.where(hit, t, 0.0)

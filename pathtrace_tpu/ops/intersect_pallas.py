@@ -169,8 +169,28 @@ def _pad_rays(x, rp):
 
 
 @functools.partial(jax.jit, static_argnames=("has_motion", "t_min", "t_max"))
+def sphere_nearest_pallas_cols(spheres: Spheres, rox, roy, roz, rdx, rdy, rdz,
+                               time, t_min=MIN_T, t_max=MAX_T,
+                               has_motion: bool = True):
+    """Column-plane entry: same kernel, ray components as six [R] arrays.
+
+    Used by the fused fast path, whose wavefront state lives in lane-packed
+    planes — skips the [R, 3] column extracts of the array entry (the values
+    are identical either way)."""
+    cols = [c[:, None] for c in (rox, roy, roz, rdx, rdy, rdz)]
+    return _sphere_nearest_call(
+        spheres, cols, time, float(t_min), float(t_max), bool(has_motion)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("has_motion", "t_min", "t_max"))
 def _sphere_nearest_pallas_impl(spheres: Spheres, ro, rd, time, t_min, t_max, has_motion):
-    R = ro.shape[0]
+    cols = [ro[:, 0:1], ro[:, 1:2], ro[:, 2:3], rd[:, 0:1], rd[:, 1:2], rd[:, 2:3]]
+    return _sphere_nearest_call(spheres, cols, time, t_min, t_max, has_motion)
+
+
+def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max, has_motion):
+    R = ray_cols[0].shape[0]
     N = spheres.center.shape[0]
     n_pad = ((N + TILE_N - 1) // TILE_N) * TILE_N
     n_tiles = n_pad // TILE_N
@@ -192,10 +212,7 @@ def _sphere_nearest_pallas_impl(spheres: Spheres, ro, rd, time, t_min, t_max, ha
     )
     mask = pad_n(spheres.mask.astype(jnp.float32), 0.0)
 
-    ray_cols = [
-        _pad_rays(ro[:, 0:1], Rp), _pad_rays(ro[:, 1:2], Rp), _pad_rays(ro[:, 2:3], Rp),
-        _pad_rays(rd[:, 0:1], Rp), _pad_rays(rd[:, 1:2], Rp), _pad_rays(rd[:, 2:3], Rp),
-    ]
+    ray_cols = [_pad_rays(c, Rp) for c in ray_cols]
 
     ray_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     sph_spec = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)

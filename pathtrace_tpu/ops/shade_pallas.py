@@ -1,0 +1,311 @@
+"""Fused Pallas shading kernel — the whole per-bounce shade/scatter pass in
+ONE kernel on lane-packed ray planes.
+
+Why: the measured per-bounce budget on this device (tools/bounce_breakdown.py)
+is hit-kernel 15 ms + winner row gather 3 ms + **XLA shading ~44 ms** +
+dispatch ~40 ms per 1M rays. The XLA shading cost is not the arithmetic —
+a fused elementwise chain is nearly free — it is the two dozen strided
+column reads of the ``[R, 24]`` winner-attribute rows and the ``[R, 3]``
+fusion-boundary materializations (XLA pads the minor dim to 128 lanes).
+This kernel takes the attribute columns pre-split into packed ``[R]`` planes
+(one strided pass) plus the ray-state planes, and runs the entire
+texture/emission/BSDF/scatter computation at full VPU lane occupancy:
+every array in the kernel is a dense ``(rows, 128)`` f32 tile.
+
+The math MIRRORS :func:`pathtrace_tpu.ops.fastpath.fast_bounce` operation
+for operation (same RNG, same select order, same guards), so the fused and
+XLA shading paths are bit-identical — `tests/test_shade_pallas.py` enforces
+it. Covers sphere/rect scenes with every material and constant/checker/
+noise textures; scenes with boxes, media, or image textures (which need an
+atlas gather XLA must do) stay on the XLA shading path.
+
+Reference role: this is the shading half of the reference's innermost
+loop — the part of ``src/collision/spheres_soa.rs`` + ``src/material.rs``
+economics where owning the runtime in one kernel is the whole game.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtrace_tpu.config import MAX_T
+from pathtrace_tpu.models.types import (
+    MAT_DIELECTRIC,
+    MAT_DIFFUSE_LIGHT,
+    MAT_LAMBERTIAN,
+    MAT_METAL,
+    SceneFeatures,
+    TEX_CHECKER,
+    TEX_NOISE,
+)
+from pathtrace_tpu.ops.fastpath import (
+    COL_KIND,
+    GEO,
+    KIND_RECT,
+    TWO_PI,
+    cbrt_pos,
+    counter_uniform,
+    fast_turb_c,
+)
+
+_INF = float(MAX_T)
+
+# plane order after the two SMEM refs: t, a0..a23, then the state planes
+_N_ATTR = 24
+_STATE_FIELDS = (
+    "rox", "roy", "roz", "rdx", "rdy", "rdz", "time",
+    "thr_r", "thr_g", "thr_b", "rad_r", "rad_g", "rad_b",
+    "alive", "lane",
+)
+
+
+def fused_shade_supported(features: SceneFeatures) -> bool:
+    """Sphere/rect scenes; boxes/media carry 48-wide attr rows and image
+    textures need an XLA atlas gather mid-shade."""
+    return not (features.has_boxes or features.has_media or features.has_image)
+
+
+def _shade_kernel(*refs, f: SceneFeatures, max_depth: int):
+    si = refs[0]           # SMEM (1,2) i32: seed, depth
+    sf = refs[1]           # SMEM (1,4) f32: sky r/g/b, use_gradient_sky
+    t = refs[2][...]
+    a = [refs[3 + k][...] for k in range(_N_ATTR)]
+    base = 3 + _N_ATTR
+    (rox, roy, roz, rdx, rdy, rdz, time,
+     thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+     alive_f, lane_i) = [refs[base + k][...] for k in range(len(_STATE_FIELDS))]
+    outs = refs[base + len(_STATE_FIELDS):]
+
+    seed = si[0, 0]
+    depth = si[0, 1]
+    lane = lane_i.astype(jnp.uint32)
+
+    hit = t < _INF
+    t_safe = jnp.where(hit, t, 0.0)
+    px = rox + t_safe * rdx
+    py = roy + t_safe * rdy
+    pz = roz + t_safe * rdz
+
+    kind = a[COL_KIND]
+    cx, cy, cz = a[GEO], a[GEO + 1], a[GEO + 2]
+    if f.has_motion:
+        s = (time - a[GEO + 6]) * a[GEO + 7]
+        cx = cx + s * a[GEO + 3]
+        cy = cy + s * a[GEO + 4]
+        cz = cz + s * a[GEO + 5]
+    inv_r = 1.0 / jnp.where(jnp.abs(a[GEO + 8]) < 1e-12, 1.0, a[GEO + 8])
+    nx = (px - cx) * inv_r
+    ny = (py - cy) * inv_r
+    nz = (pz - cz) * inv_r
+    if f.has_rects:
+        axis = a[GEO + 0]
+        flip = a[GEO + 6]
+        is_rect = kind == KIND_RECT
+        nx = jnp.where(is_rect, (axis == 0.0).astype(px.dtype) * flip, nx)
+        ny = jnp.where(is_rect, (axis == 1.0).astype(px.dtype) * flip, ny)
+        nz = jnp.where(is_rect, (axis == 2.0).astype(px.dtype) * flip, nz)
+
+    tex_kind = a[3]
+    rgb_r, rgb_g, rgb_b = a[4], a[5], a[6]
+    if f.has_checker:
+        sines = (
+            jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
+        )
+        is_chk = tex_kind == float(TEX_CHECKER)
+        neg = sines < 0.0
+        rgb_r = jnp.where(is_chk, jnp.where(neg, a[7], a[10]), rgb_r)
+        rgb_g = jnp.where(is_chk, jnp.where(neg, a[8], a[11]), rgb_g)
+        rgb_b = jnp.where(is_chk, jnp.where(neg, a[9], a[12]), rgb_b)
+    if f.has_noise:
+        marble = 0.5 * (
+            1.0 + jnp.sin(a[13] * pz + 10.0 * fast_turb_c(px, py, pz))
+        )
+        is_noise = tex_kind == float(TEX_NOISE)
+        rgb_r = jnp.where(is_noise, marble, rgb_r)
+        rgb_g = jnp.where(is_noise, marble, rgb_g)
+        rgb_b = jnp.where(is_noise, marble, rgb_b)
+
+    mat_kind = a[0]
+    sky_t = 0.5 * (rdy + 1.0)
+    use_grad = sf[0, 3]
+    sky_consts = (0.15, 0.21, 0.30)
+    is_light = mat_kind == float(MAT_DIFFUSE_LIGHT)
+    rads = []
+    for c, (rgb_c, thr_c, rad_c) in enumerate(
+        ((rgb_r, thr_r, rad_r), (rgb_g, thr_g, rad_g), (rgb_b, thr_b, rad_b))
+    ):
+        grad_c = (1.0 - sky_t) + sky_t * sky_consts[c]
+        sky_c = jnp.where(use_grad > 0.5, grad_c, sf[0, c])
+        emit_c = jnp.where(hit, jnp.where(is_light, rgb_c, 0.0), sky_c)
+        rads.append(rad_c + thr_c * emit_c * alive_f)
+    rad_r, rad_g, rad_b = rads
+
+    u1 = counter_uniform(lane, seed, depth, 0)
+    u2 = counter_uniform(lane, seed, depth, 1)
+    u3 = counter_uniform(lane, seed, depth, 2)
+    uc = counter_uniform(lane, seed, depth, 3)
+    zz = u1 * 2.0 - 1.0
+    aa = u2 * TWO_PI
+    rr = jnp.sqrt(jnp.maximum(1.0 - zz * zz, 0.0))
+    ux = rr * jnp.cos(aa)
+    uy = rr * jnp.sin(aa)
+    uz = zz
+
+    rdotn = rdx * nx + rdy * ny + rdz * nz
+    refl_x = rdx - 2.0 * rdotn * nx
+    refl_y = rdy - 2.0 * rdotn * ny
+    refl_z = rdz - 2.0 * rdotn * nz
+
+    dir_x, dir_y, dir_z = ux, uy, uz
+    # scatter-ok mask as f32 0/1 — Mosaic cannot select between i1 vectors
+    ok = jnp.ones_like(t)
+
+    if f.has_dielectric:
+        ref_idx = a[2]
+        exiting = rdotn > 0.0
+        sgn = jnp.where(exiting, -1.0, 1.0)
+        ox, oy, oz = sgn * nx, sgn * ny, sgn * nz
+        ni = jnp.where(exiting, ref_idx, 1.0 / ref_idx)
+        cos_in = jnp.where(exiting, rdotn, -rdotn)
+        ces = 1.0 - ref_idx * ref_idx * (1.0 - cos_in * cos_in)
+        cosine = jnp.where(
+            exiting, jnp.sqrt(jnp.where(ces > 0.0, ces, 1.0)), cos_in
+        )
+        dt_ = rdx * ox + rdy * oy + rdz * oz
+        disc = 1.0 - ni * ni * (1.0 - dt_ * dt_)
+        refr_ok = disc > 0.0
+        sq = jnp.sqrt(jnp.where(refr_ok, disc, 1.0))
+        refr_x = ni * (rdx - ox * dt_) - ox * sq
+        refr_y = ni * (rdy - oy * dt_) - oy * sq
+        refr_z = ni * (rdz - oz * dt_) - oz * sq
+        r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+        r0 = r0 * r0
+        omc = 1.0 - cosine
+        omc2 = omc * omc
+        schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+        reflect_prob = jnp.where(refr_ok, schlick, 1.0)
+        tr = uc > reflect_prob
+        diel_x = jnp.where(tr, refr_x, refl_x)
+        diel_y = jnp.where(tr, refr_y, refl_y)
+        diel_z = jnp.where(tr, refr_z, refl_z)
+        is_diel = mat_kind == float(MAT_DIELECTRIC)
+        dir_x = jnp.where(is_diel, diel_x, dir_x)
+        dir_y = jnp.where(is_diel, diel_y, dir_y)
+        dir_z = jnp.where(is_diel, diel_z, dir_z)
+
+    if f.has_metal:
+        fuzz = a[1]
+        rad3 = cbrt_pos(u3)
+        fr = fuzz * rad3
+        is_metal = mat_kind == float(MAT_METAL)
+        dir_x = jnp.where(is_metal, refl_x + fr * ux, dir_x)
+        dir_y = jnp.where(is_metal, refl_y + fr * uy, dir_y)
+        dir_z = jnp.where(is_metal, refl_z + fr * uz, dir_z)
+        ok = jnp.where(is_metal, jnp.where(rdotn < 0.0, 1.0, 0.0), ok)
+
+    if f.has_lambertian:
+        is_lam = mat_kind == float(MAT_LAMBERTIAN)
+        dir_x = jnp.where(is_lam, nx + ux, dir_x)
+        dir_y = jnp.where(is_lam, ny + uy, dir_y)
+        dir_z = jnp.where(is_lam, nz + uz, dir_z)
+
+    if f.has_light:
+        ok = jnp.where(is_light, 0.0, ok)  # lights never scatter
+
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(dir_x * dir_x + dir_y * dir_y + dir_z * dir_z, 1e-38)
+    )
+    dir_x = dir_x * inv_len
+    dir_y = dir_y * inv_len
+    dir_z = dir_z * inv_len
+
+    if f.has_dielectric:
+        at_r = jnp.where(is_diel, 1.0, rgb_r)
+        at_g = jnp.where(is_diel, 1.0, rgb_g)
+        at_b = jnp.where(is_diel, 1.0, rgb_b)
+    else:
+        at_r, at_g, at_b = rgb_r, rgb_g, rgb_b
+
+    can = (alive_f > 0.5) & hit & (ok > 0.5) & (depth < max_depth)
+    outs[0][...] = jnp.where(can, px, rox)
+    outs[1][...] = jnp.where(can, py, roy)
+    outs[2][...] = jnp.where(can, pz, roz)
+    outs[3][...] = jnp.where(can, dir_x, rdx)
+    outs[4][...] = jnp.where(can, dir_y, rdy)
+    outs[5][...] = jnp.where(can, dir_z, rdz)
+    outs[6][...] = rad_r
+    outs[7][...] = rad_g
+    outs[8][...] = rad_b
+    outs[9][...] = jnp.where(can, thr_r * at_r, thr_r)
+    outs[10][...] = jnp.where(can, thr_g * at_g, thr_g)
+    outs[11][...] = jnp.where(can, thr_b * at_b, thr_b)
+    outs[12][...] = jnp.where(can, 1.0, 0.0).astype(jnp.float32)
+
+
+def shade_bounce_planes(t, attr_planes, state_planes, seed, depth,
+                        sky, use_gradient_sky, features: SceneFeatures,
+                        max_depth: int):
+    """Run the fused shade/scatter kernel on one wavefront.
+
+    ``t``: [R] hit distances. ``attr_planes``: 24 × [R] winner-attribute
+    columns. ``state_planes``: dict with keys ``_STATE_FIELDS`` ([R] planes;
+    ``alive`` f32 0/1, ``lane`` int32 bit-pattern of the uint32 lane ids).
+    Returns 13 output planes: ro xyz, rd xyz, radiance rgb, throughput rgb,
+    alive (f32 0/1).
+    """
+    R = t.shape[0]
+    assert R % 128 == 0, "fused shading needs R % 128 == 0 (caller pads)"
+    rows = R // 128
+    # Mosaic block constraint: sublane dim divisible by 8, or whole-array.
+    # Callers pad wavefronts to 1024-ray multiples (rows % 8 == 0) except
+    # sub-1024 compaction rungs, whose whole-plane blocks are tiny anyway.
+    if rows % 8 == 0:
+        bs = next(b for b in (64, 32, 16, 8) if rows % b == 0)
+    else:
+        assert rows < 8, f"pad wavefronts to 1024-ray multiples (rows={rows})"
+        bs = rows
+    grid = (rows // bs,)
+
+    def plane(x):
+        return x.reshape(rows, 128)
+
+    si = jnp.stack(
+        [jnp.asarray(seed, jnp.int32), jnp.asarray(depth, jnp.int32)]
+    ).reshape(1, 2)
+    sf = jnp.concatenate(
+        [jnp.asarray(sky, jnp.float32).reshape(3),
+         jnp.asarray(use_gradient_sky, jnp.float32).reshape(1)]
+    ).reshape(1, 4)
+
+    inputs = [si, sf, plane(t)]
+    inputs += [plane(p) for p in attr_planes]
+    for name in _STATE_FIELDS:
+        inputs.append(plane(state_planes[name]))
+
+    smem_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    smem_spec4 = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    pspec = pl.BlockSpec((bs, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    n_planes = len(inputs) - 2
+    ospec = pl.BlockSpec((bs, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 13
+
+    kernel = functools.partial(_shade_kernel, f=features, max_depth=max_depth)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem_spec, smem_spec4] + [pspec] * n_planes,
+        out_specs=tuple([ospec] * 13),
+        out_shape=tuple(out_shape),
+        interpret=jax.default_backend() != "tpu",
+        cost_estimate=pl.CostEstimate(
+            flops=R * 250,
+            bytes_accessed=R * 4 * (n_planes + 13),
+            transcendentals=R * 10,
+        ),
+    )(*inputs)
+    return [o.reshape(R) for o in outs]

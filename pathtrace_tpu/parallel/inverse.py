@@ -91,6 +91,12 @@ class InverseRenderer:
     optimizer: Any = None
     learning_rate: float = 2e-2
     use_fast_path: bool = False  # single-device trace_fast_diff forward
+    # visibility gradients: add the silhouette edge-sampling boundary term
+    # (ops/silhouette.py) for sphere centers/radii; interior autodiff alone
+    # sees zero gradient from pure occlusion changes
+    silhouette: bool = False
+    silhouette_samples: int = 128
+    param_names: Tuple[str, ...] = ()
 
     def __post_init__(self):
         if self.optimizer is None:
@@ -143,9 +149,31 @@ class InverseRenderer:
         grads (all-reduced across the mesh by the shard_map transpose) ->
         adam update."""
         loss_val, grads = jax.value_and_grad(self.loss)(state.params, target, key)
+        if self.silhouette:
+            grads = self._add_silhouette_grads(grads, state.params, target, key)
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss_val
+
+    def _add_silhouette_grads(self, grads, params, target, key):
+        """Add the visibility boundary term to the interior gradients."""
+        from pathtrace_tpu.ops.silhouette import silhouette_grads
+
+        scene = self.rebuild(params)
+        img = jax.lax.stop_gradient(self.render(params, key))
+        grad_img = 2.0 * (img - target) / img.size
+        d_center, d_radius = silhouette_grads(
+            scene, self.camera, self.width, self.height, grad_img,
+            jax.random.fold_in(key, 0x51), max_depth=self.max_depth,
+            features=self.features, n_samples=self.silhouette_samples,
+        )
+        out = list(grads)
+        for i, name in enumerate(self.param_names):
+            if name == "spheres.center":
+                out[i] = out[i] + d_center
+            elif name == "spheres.radius":
+                out[i] = out[i] + d_radius
+        return type(grads)(out) if not isinstance(grads, list) else out
 
 
 def make_inverse_renderer(
@@ -159,6 +187,8 @@ def make_inverse_renderer(
     trainable: Callable[[str], bool] = default_trainable,
     learning_rate: float = 2e-2,
     use_fast_path: bool = False,
+    silhouette: bool = False,
+    silhouette_samples: int = 128,
 ):
     """Build (renderer, initial TrainState, trainable-leaf names)."""
     mesh = mesh or pmesh.make_render_mesh()
@@ -175,5 +205,8 @@ def make_inverse_renderer(
         rebuild=rebuild,
         learning_rate=learning_rate,
         use_fast_path=use_fast_path,
+        silhouette=silhouette,
+        silhouette_samples=silhouette_samples,
+        param_names=tuple(names),
     )
     return renderer, renderer.init(params), names

@@ -35,6 +35,11 @@ import numpy as np
 
 from pathtrace_tpu.models.types import Scene, SceneFeatures
 from pathtrace_tpu.render import integrator
+from pathtrace_tpu.render.compact_util import (
+    compact as _compact,
+    final_flush as _final_flush,
+    rung as _rung,
+)
 
 
 @functools.lru_cache(maxsize=None)
@@ -48,37 +53,6 @@ def _bounce_jit(features: SceneFeatures, sphere_nearest_fn, max_depth: int):
         )
 
     return bounce
-
-
-@functools.partial(jax.jit, static_argnames=("next_size",), donate_argnums=(0,))
-def _compact(out_radiance, state, indices, next_size: int):
-    """Flush radiance and gather alive lanes to the front at `next_size`."""
-    out_radiance = out_radiance.at[indices].add(state.radiance)
-    # stable sort on the dead mask: alive lanes first, original order kept
-    order = jnp.argsort(jnp.logical_not(state.alive), stable=True)
-    perm = order[:next_size]
-    new_state = integrator.WavefrontState(
-        depth=state.depth,
-        ro=state.ro[perm],
-        rd=state.rd[perm],
-        time=state.time[perm],
-        radiance=jnp.zeros((next_size, 3), state.radiance.dtype),
-        throughput=state.throughput[perm],
-        alive=state.alive[perm],
-        ray_count=state.ray_count,
-    )
-    return out_radiance, new_state, indices[perm]
-
-
-@jax.jit
-def _final_flush(out_radiance, state, indices):
-    return out_radiance.at[indices].add(state.radiance)
-
-
-def _rung(n_alive: int, minimum: int) -> int:
-    """Smallest power-of-two >= n_alive (and >= minimum)."""
-    size = max(int(n_alive), minimum, 1)
-    return 1 << (size - 1).bit_length()
 
 
 def trace_compacted(

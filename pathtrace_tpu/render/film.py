@@ -25,8 +25,8 @@ def to_srgb_u8(img_linear: np.ndarray) -> np.ndarray:
     return (srgb * 255.99).astype(np.uint8)
 
 
-def write_png(path: str, rgb_u8: np.ndarray) -> None:
-    """Write [H, W, 3] u8 RGB as a PNG file (8-bit, no filtering)."""
+def encode_png(rgb_u8: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode [H, W, 3] u8 RGB as PNG bytes (8-bit, no filtering)."""
     img = np.asarray(rgb_u8, dtype=np.uint8)
     h, w = img.shape[:2]
     raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
@@ -38,14 +38,18 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, compress_level))
         + chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str, rgb_u8: np.ndarray) -> None:
+    """Write [H, W, 3] u8 RGB as a PNG file (8-bit, no filtering)."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb_u8))
 
 
 def read_png(path: str) -> np.ndarray:

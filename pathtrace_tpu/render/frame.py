@@ -51,6 +51,7 @@ def render_frame(
     differentiable: bool = False,
     features: SceneFeatures = None,
     ray_chunk: int = 0,
+    intersect_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one frame. Returns (image [H, W, 3] linear RGB, ray_count []).
 
@@ -97,6 +98,7 @@ def render_frame(
             return trace_fn(
                 scene, ro_c, rd_c, time_c, ck, max_depth,
                 sphere_nearest_fn=sphere_nearest_fn, features=features,
+                intersect_fn=intersect_fn,
             )
 
         radiance, counts = jax.lax.map(
@@ -114,6 +116,7 @@ def render_frame(
         radiance, ray_count = trace_fn(
             scene, ro, rd, time, ktrace, max_depth,
             sphere_nearest_fn=sphere_nearest_fn, features=features,
+            intersect_fn=intersect_fn,
         )
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)
     return img, ray_count

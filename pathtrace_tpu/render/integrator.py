@@ -68,6 +68,7 @@ def _bounce(
     max_depth: int,
     sphere_nearest_fn,
     features: SceneFeatures,
+    intersect_fn=None,
 ) -> WavefrontState:
     """One wavefront bounce: intersect, emit/sky, scatter, advance.
 
@@ -85,11 +86,15 @@ def _bounce(
         )
     scat_u = jax.random.uniform(jax.random.fold_in(kb, 1), state.time.shape + (4,))
 
-    rec = isect.intersect_scene(
-        scene, state.ro, state.rd, state.time, med_u,
-        sphere_nearest_fn=sphere_nearest_fn,
-        features=features,
-    )
+    if intersect_fn is not None:
+        # whole-scene override (e.g. the -B BVH over every primitive kind)
+        rec = intersect_fn(scene, state.ro, state.rd, state.time, med_u)
+    else:
+        rec = isect.intersect_scene(
+            scene, state.ro, state.rd, state.time, med_u,
+            sphere_nearest_fn=sphere_nearest_fn,
+            features=features,
+        )
     sc = bsdf.scatter(scene, rec, state.rd, scat_u, features=features)
 
     alive_f = state.alive.astype(state.ro.dtype)[..., None]
@@ -141,6 +146,7 @@ def trace(
     max_depth: int,
     sphere_nearest_fn=None,
     features: SceneFeatures = None,
+    intersect_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fast forward trace: while_loop with whole-wavefront early exit.
 
@@ -154,7 +160,8 @@ def trace(
         return (state.depth <= max_depth) & jnp.any(state.alive)
 
     def body(state: WavefrontState):
-        return _bounce(scene, state, key, max_depth, sphere_nearest_fn, features)
+        return _bounce(scene, state, key, max_depth, sphere_nearest_fn,
+                       features, intersect_fn=intersect_fn)
 
     final = jax.lax.while_loop(cond, body, _initial_state(ro, rd, time))
     return final.radiance, final.ray_count
@@ -169,6 +176,7 @@ def trace_diff(
     max_depth: int,
     sphere_nearest_fn=None,
     features: SceneFeatures = None,
+    intersect_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable trace: scan over the full static bounce budget.
 
@@ -179,7 +187,8 @@ def trace_diff(
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
 
     def step(state: WavefrontState, _):
-        return _bounce(scene, state, key, max_depth, sphere_nearest_fn, features), None
+        return _bounce(scene, state, key, max_depth, sphere_nearest_fn,
+                       features, intersect_fn=intersect_fn), None
 
     final, _ = jax.lax.scan(
         step, _initial_state(ro, rd, time), None, length=max_depth + 1

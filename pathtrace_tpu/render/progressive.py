@@ -51,6 +51,8 @@ def render_progressive(
     checkpoint_every: int = 50,
     snapshot_path: Optional[str] = None,
     snapshot_every: int = 0,
+    preview: bool = False,
+    preview_port: int = 0,
     log: Callable[[str], None] = print,
 ) -> ProgressiveResult:
     """Run the progressive loop for ``max_frames`` frames.
@@ -65,16 +67,17 @@ def render_progressive(
     features = features or SceneFeatures.from_scene(scene)
 
     sphere_nearest_fn = None
+    intersect_fn = None
     if use_bvh or params.use_bvh:
-        # -B analog: build the BVH host-side, print its census
-        # (reference src/params.rs:36-43 dbg!(get_stats()))
+        # -B analog: build the whole-scene BVH (every primitive kind, like
+        # the reference's BVHNode over arbitrary hitables) host-side and
+        # print its census (reference src/params.rs:36-43 dbg!(get_stats()))
         from pathtrace_tpu.models import bvh as pbvh
 
-        mn, mx = pbvh.sphere_aabbs(scene.spheres)
-        flat, stats = pbvh.build_flat_bvh(mn, mx, mask=scene.spheres.mask, seed=seed)
+        flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=seed)
         log(f"bvh stats: {stats}")
         flat = jax.device_put(flat)
-        sphere_nearest_fn = pbvh.make_bvh_sphere_nearest(flat)
+        intersect_fn = pbvh.make_bvh_intersect_fn(flat, offsets, features)
 
     scene = jax.device_put(scene)
 
@@ -89,8 +92,9 @@ def render_progressive(
 
     use_fast = (
         mode == "fast"
-        or (mode == "auto" and fastpath_supported(features)
-            and sphere_nearest_fn is None and not (use_bvh or params.use_bvh))
+        or (mode == "auto" and fastpath_supported(features, scene)
+            and sphere_nearest_fn is None and intersect_fn is None
+            and not (use_bvh or params.use_bvh))
     )
 
     if use_fast:
@@ -99,6 +103,16 @@ def render_progressive(
                 scene_arg, camera, params.width, params.height, params.samples,
                 params.max_depth, key, seed * 1000003 + frame_idx, features,
             )
+    elif mode == "compacted":
+        # general integrator under the host-driven compaction ladder
+        from pathtrace_tpu.render.compaction import render_frame_compacted
+
+        def frame_fn(scene_arg, key, frame_idx):
+            return render_frame_compacted(
+                scene_arg, camera, params.width, params.height,
+                params.samples, params.max_depth, key, features=features,
+                sphere_nearest_fn=sphere_nearest_fn,
+            )
     else:
         @jax.jit
         def _frame_general(scene_arg, key):
@@ -106,6 +120,7 @@ def render_progressive(
                 scene_arg, camera, params.width, params.height, params.samples,
                 params.max_depth, key,
                 sphere_nearest_fn=sphere_nearest_fn, features=features,
+                intersect_fn=intersect_fn,
             )
 
         def frame_fn(scene_arg, key, frame_idx):
@@ -122,8 +137,20 @@ def render_progressive(
         else:
             start_frame = 0
 
+    preview_server = None
+    if preview:
+        # live view (reference glium_window.rs window analog): the browser
+        # is the display surface, frames stream over localhost HTTP
+        from pathtrace_tpu.render.preview import PreviewServer
+
+        preview_server = PreviewServer(port=preview_port)
+        log(f"live preview at {preview_server.url}")
+
+    import time as _time
+
     meter = RollingMraysMeter()
     total_rays = 0
+    t_start = _time.monotonic()
     frame = start_frame
     end_frame = start_frame + max_frames if max_frames is not None else None
 
@@ -137,6 +164,9 @@ def render_progressive(
         if line:
             log(line)
         frame += 1
+        if preview_server is not None:
+            rate = total_rays / 1e6 / max(_time.monotonic() - t_start, 1e-9)
+            preview_server.update(acc, frame, rate)
         if on_frame is not None:
             on_frame(frame, acc)
         if checkpoint_path and frame % checkpoint_every == 0:

@@ -121,6 +121,42 @@ class TestProfiling:
         assert "20frames" in reports[1]
 
 
+class TestCompareGolden:
+    def test_two_pngs(self, tmp_path, capsys):
+        """tools/compare_golden.py: external-PNG parity harness."""
+        import importlib.util
+        import os as _os
+        import sys as _sys
+
+        import numpy as _np
+
+        from pathtrace_tpu.render import film
+
+        spec = importlib.util.spec_from_file_location(
+            "compare_golden",
+            _os.path.join(_os.path.dirname(__file__), "..", "tools",
+                          "compare_golden.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        rng = _np.random.default_rng(0)
+        a = rng.integers(0, 255, (32, 32, 3), dtype=_np.uint8)
+        pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+        film.write_png(pa, a)
+        # small noise: statistical parity should still pass
+        b = _np.clip(a.astype(int) + rng.integers(-2, 3, a.shape), 0, 255)
+        film.write_png(pb, b.astype(_np.uint8))
+        argv = _sys.argv
+        _sys.argv = ["compare_golden.py", pa, "--png", pb, "--downsample", "2"]
+        try:
+            rc = mod.main()
+        finally:
+            _sys.argv = argv
+        out = capsys.readouterr().out
+        assert rc == 0 and '"pass": true' in out
+
+
 class TestDebugTrace:
     def test_prints_hit_chain(self):
         from pathtrace_tpu.utils.debug import print_ray_trace
@@ -131,4 +167,23 @@ class TestDebugTrace:
         text = "\n".join(lines)
         assert "center ray" in text
         assert "HIT" in text
+        assert "depth 0" in text
+
+    def test_bvh_trace_prints_node_visits(self):
+        """-X -B descends the BVH per node with a visit census
+        (reference bvh.rs:96-224 print_ray_hit)."""
+        from pathtrace_tpu.utils.debug import print_ray_trace
+
+        scene, cam = presets.cornell(aspect=1.0)
+        lines = []
+        print_ray_trace(scene, cam, max_depth=3, use_bvh=True,
+                        log=lines.append)
+        text = "\n".join(lines)
+        assert "bvh stats" in text
+        assert "node 0 inner: Hit" in text
+        assert "leaf(prim" in text
+        assert "bvh visit census" in text
+        # the center ray in cornell must hit something through the BVH
+        assert "Hit t=" in text
+        # the regular bounce trace still follows
         assert "depth 0" in text

@@ -52,6 +52,38 @@ class TestParity:
         np.testing.assert_allclose(m1, m2, atol=0.02)
         assert abs(c2 - int(c1)) < 0.03 * int(c1) + 10
 
+    def test_image_textured_rect_and_box_uv(self):
+        """Image textures on rects/boxes use the face UV parameterization
+        (not sphere UV): fast path must match the general integrator, which
+        computes the reference's per-kind u/v (rect.rs:93-160)."""
+        from pathtrace_tpu.models.build import SceneBuilder
+
+        b = SceneBuilder()
+        img = np.zeros((8, 8, 3), np.float32)
+        img[:, :4] = (1.0, 0.1, 0.1)   # left half red
+        img[:, 4:] = (0.1, 0.1, 1.0)   # right half blue
+        tex = b.image_texture(img)
+        mat = b.lambertian(tex)
+        b.rect_xy(-4.0, 0.0, -2.0, 2.0, -3.0, False, mat)
+        b.box((0.5, -2.0, -2.5), (3.5, 2.0, -0.5), mat)
+        scene = b.finish()
+        from pathtrace_tpu.camera import make_camera
+
+        cam = make_camera((0.0, 0.0, 6.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                          60.0, 1.0, aperture=0.0, focus_dist=6.0,
+                          time0=0.0, time1=0.0)
+        feats = SceneFeatures.from_scene(scene)
+        assert feats.has_image and feats.has_rects and feats.has_boxes
+        ro, rd, tm = camera_rays(cam, 4096)
+        key = jax.random.PRNGKey(0)
+        r1, _ = integrator.trace(scene, ro, rd, tm, key, 4, features=feats)
+        r2, _ = trace_fast(scene, ro, rd, tm, 0, 4, feats, min_size=512)
+        m1 = np.asarray(r1).mean(axis=0)
+        m2 = np.asarray(r2).mean(axis=0)
+        # both halves visible => red and blue both contribute; sphere-UV
+        # fallback would sample wildly different texels
+        np.testing.assert_allclose(m1, m2, atol=0.02)
+
     def test_compaction_bit_exact_invariance(self):
         scene, cam = presets.small(aspect=1.0)
         feats = SceneFeatures.from_scene(scene)
@@ -94,7 +126,11 @@ class TestFrame:
 
 
 class TestFastDiff:
-    def test_scan_matches_host_loop_exactly(self):
+    def test_scan_matches_host_loop(self):
+        """trace_fast (fused Pallas shading) vs trace_fast_diff (XLA scan):
+        same estimator; per-lane agreement to FMA-contraction slack with a
+        tiny outlier budget for ULP-flipped discrete decisions (see
+        test_shade_pallas.py for why bitwise equality is off the table)."""
         from pathtrace_tpu.ops.fastpath import trace_fast_diff
 
         scene, cam = presets.small(aspect=1.0)
@@ -102,8 +138,10 @@ class TestFastDiff:
         ro, rd, tm = camera_rays(cam, 2048)
         a, ca = trace_fast(scene, ro, rd, tm, 3, 6, feats, compaction=False)
         b, cb = trace_fast_diff(scene, ro, rd, tm, 3, 6, feats)
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
-        assert ca == int(cb)
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        close = np.abs(a - b) <= 1e-3 + 1e-3 * np.abs(b)
+        assert close.mean() > 0.995
+        assert abs(ca - int(cb)) <= 0.01 * int(cb)
 
     def test_albedo_gradient_matches_fd_exactly(self):
         import dataclasses

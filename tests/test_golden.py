@@ -93,6 +93,30 @@ class TestEstimatorParity:
         assert rep.mean_abs_error < 5e-3
         assert abs(rays_bf - rays_bvh) <= max(rays_bf, 1) * 0.01
 
+    @pytest.mark.parametrize("preset", ["small", "cornell", "cornell_smoke"])
+    def test_scene_bvh_matches_brute_force_image(self, preset):
+        """The whole-scene BVH (every primitive kind — spheres, rects,
+        boxes, media) selects the same winners as the brute-force per-kind
+        argmin: the -B metamorphic test over mixed-kind scenes
+        (reference src/collision/bvh.rs:37-62, src/params.rs:36-43)."""
+        from pathtrace_tpu.models import bvh as pbvh
+
+        scene, cam = presets.from_name(preset, aspect=4 / 3, seed=0)
+        feats = SceneFeatures.from_scene(scene)
+        flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0,
+                                                    use_native=False)
+        assert stats.leaf_count > 0
+        key = jax.random.PRNGKey(7)
+        img_bf, rays_bf = render_frame(scene, cam, 48, 36, 4, 8, key,
+                                       features=feats)
+        img_bvh, rays_bvh = render_frame(
+            scene, cam, 48, 36, 4, 8, key, features=feats,
+            intersect_fn=pbvh.make_bvh_intersect_fn(flat, offsets, feats),
+        )
+        rep = compare_images(np.asarray(img_bf), np.asarray(img_bvh))
+        assert rep.mean_abs_error < 5e-3
+        assert abs(rays_bf - rays_bvh) <= max(rays_bf, 1) * 0.01
+
     def test_pallas_matches_jnp_image(self):
         from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
 

@@ -98,6 +98,23 @@ class TestEarth:
         assert f.has_image
         assert scene.atlas.data.shape[0] >= 256
 
+    def test_user_supplied_png(self, tmp_path):
+        """A user PNG feeds the earth texture (reference runtime image load,
+        src/texture.rs:14-36) via --image / from_name(image_path=...)."""
+        from pathtrace_tpu.render import film
+
+        rgb = (np.arange(16 * 32 * 3).reshape(16, 32, 3) % 256).astype(np.uint8)
+        path = tmp_path / "map.png"
+        film.write_png(str(path), rgb)
+        scene, _ = presets.from_name("earth", 1.0, image_path=str(path))
+        atlas = np.asarray(scene.atlas.data)
+        h = int(np.asarray(scene.atlas.height)[0])
+        w = int(np.asarray(scene.atlas.width)[0])
+        assert (h, w) == (16, 32)
+        np.testing.assert_allclose(
+            atlas[:16, :32], rgb.astype(np.float32) / 255.0, atol=1e-6
+        )
+
 
 class TestSimpleLight:
     def test_lights_and_black_sky(self):

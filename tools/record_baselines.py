@@ -1,0 +1,132 @@
+"""Measure BASELINE.json configs 2-4 on the real device and store numbers.
+
+Configs (BASELINE.json):
+  2. random_spheres 1280x720 @ 128 spp, defocus-blur camera, per-ray RNG
+  3. textured/emissive scene, brute-force shading (two_perlin_spheres +
+     simple_light stand in for the noise/checker + lights classes)
+  4. 500+ sphere scene, 1024 spp, stream-compacted wavefront bounces,
+     with and without -B (BVH)
+
+Methodology (PERF.md): vary the frame key per frame (identical calls get
+elided), time to host readback, persistent compile cache on. 1024 spp
+accumulates 4-spp progressive frames (the renderer's native spp grain),
+so "wall-clock to 1024 spp" includes accumulation exactly as a user
+would experience it.
+
+Writes tools/../BASELINE_MEASURED.json and prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def run_frames(scene, camera, w, h, spp, depth, features, n_frames,
+               use_bvh=False, mode="fast"):
+    """Render n_frames, accumulate, time to readback. Returns (secs, rays)."""
+    import jax
+
+    total_rays = 0
+    acc = None
+    if use_bvh:
+        from pathtrace_tpu.models import bvh as pbvh
+        from pathtrace_tpu.render.frame import render_frame
+
+        flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
+        flat = jax.device_put(flat)
+        intersect_fn = pbvh.make_bvh_intersect_fn(
+            flat, offsets, features
+        )
+    scene_d = jax.device_put(scene)
+
+    t0 = time.perf_counter()
+    for f in range(n_frames):
+        key = jax.random.PRNGKey(f + 1)
+        if use_bvh:
+            from pathtrace_tpu.render.frame import render_frame
+
+            img, rays = render_frame(
+                scene_d, camera, w, h, spp, depth, key, features=features,
+                intersect_fn=intersect_fn, ray_chunk=1 << 19,
+            )
+        else:
+            from pathtrace_tpu.ops.fastpath import render_frame_fast
+
+            img, rays = render_frame_fast(
+                scene_d, camera, w, h, spp, depth, key, f + 1, features,
+            )
+        acc = img if acc is None else acc + img
+        total_rays += int(rays)
+    np.asarray(acc)  # true completion barrier
+    return time.perf_counter() - t0, total_rays
+
+
+def measure(name, preset, w, h, spp_total, spp_frame, depth, use_bvh=False):
+    import jax
+
+    from pathtrace_tpu.models import presets
+    from pathtrace_tpu.models.types import SceneFeatures
+
+    scene, cam = presets.from_name(preset, aspect=w / h, seed=0)
+    features = SceneFeatures.from_scene(scene)
+    n_frames = max(spp_total // spp_frame, 1)
+
+    # warmup: compile every program shape this run will touch
+    _ = run_frames(scene, cam, w, h, spp_frame, depth, features, 1,
+                   use_bvh=use_bvh)
+    secs, rays = run_frames(scene, cam, w, h, spp_frame, depth, features,
+                            n_frames, use_bvh=use_bvh)
+    rec = {
+        "config": name,
+        "preset": preset,
+        "film": f"{w}x{h}",
+        "spp": spp_total,
+        "depth": depth,
+        "bvh": use_bvh,
+        "wall_s": round(secs, 2),
+        "rays": rays,
+        "mrays_per_s": round(rays / 1e6 / secs, 3),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main() -> int:
+    from pathtrace_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
+    records = [
+        # config 2: defocus-blur camera, 1280x720 @ 128spp (32 x 4spp frames)
+        measure("config2_1280x720_128spp", "random_spheres",
+                1280, 720, 128, 4, 10),
+        # config 3: textured + emissive classes at the default film
+        measure("config3_perlin_textured", "two_perlin_spheres",
+                1280, 720, 16, 4, 10),
+        measure("config3_emissive_lights", "simple_light",
+                1280, 720, 16, 4, 10),
+        # config 4: 500+ spheres, 1024 spp, compacted wavefront; both paths
+        measure("config4_1024spp_brute", "random_spheres",
+                200, 100, 1024, 8, 10),
+        measure("config4_1024spp_bvh", "random_spheres",
+                200, 100, 1024, 8, 10, use_bvh=True),
+    ]
+    out = os.path.join(os.path.dirname(__file__), "..",
+                       "BASELINE_MEASURED.json")
+    with open(out, "w") as f:
+        json.dump({"note": "measured on the emulated axon TPU (PERF.md); "
+                           "real v5e scales ~10^3 in compute",
+                   "records": records}, f, indent=1)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
