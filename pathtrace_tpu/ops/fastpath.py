@@ -677,34 +677,80 @@ def fast_bounce_fused(
     seed, depth, max_depth: int, features: SceneFeatures, scene=None,
 ):
     """Plane-form bounce: Pallas closest hit + ONE row gather + Pallas
-    fused shading. Bit-identical to :func:`fast_bounce` (same hit kernel,
-    same winner rows, op-for-op identical shading math — enforced by
-    tests/test_shade_pallas.py); sphere/rect scenes only (see
-    ``shade_pallas.fused_shade_supported``)."""
+    fused shading. Op-for-op mirror of :func:`fast_bounce` (same hit
+    kernel, same winner rows, same shading math — enforced by
+    tests/test_shade_pallas.py); every scene class except image textures
+    (see ``shade_pallas.fused_shade_supported``).
+
+    ``scene`` may be a full Scene or a ``(spheres, rects, boxes, media)``
+    tuple — the bounce touches only the primitive groups (shading data
+    rides the prebuilt tables)."""
+    if hasattr(scene, "spheres"):
+        prims = (scene.spheres, scene.rects, scene.boxes, scene.media)
+    else:
+        prims = scene
+    return _fast_bounce_fused_prims(
+        tables, sky, use_gradient_sky, state, seed, depth, max_depth,
+        features, prims,
+    )
+
+
+def _fast_bounce_fused_prims(
+    tables, sky, use_gradient_sky, state: FastStateP,
+    seed, depth, max_depth: int, features: SceneFeatures, prims,
+):
     from pathtrace_tpu.ops import intersect as isect
     from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas_cols
     from pathtrace_tpu.ops.shade_pallas import shade_bounce_planes
 
     f = features
-    sph_table, rect_table = tables[0], tables[1]
+    spheres, rects, boxes, media = prims
+    sph_table, rect_table, box_table, media_table = tables
     if f.has_spheres:
         t, idx = sphere_nearest_pallas_cols(
-            scene.spheres, state.rox, state.roy, state.roz,
+            spheres, state.rox, state.roy, state.roz,
             state.rdx, state.rdy, state.rdz, state.time,
             MIN_T, MAX_T, has_motion=bool(f.has_motion),
         )
     else:
         t = jnp.full(state.rox.shape, _INF, state.rox.dtype)
         idx = jnp.zeros(state.rox.shape, jnp.int32)
+    parts = [sph_table]
+    offset = sph_table.shape[0]
     if f.has_rects:
         t_r, i_r = isect.rect_nearest_cols(
-            scene.rects, state.rox, state.roy, state.roz,
+            rects, state.rox, state.roy, state.roz,
             state.rdx, state.rdy, state.rdz,
         )
         wins = t_r < t
         t = jnp.where(wins, t_r, t)
-        idx = jnp.where(wins, sph_table.shape[0] + i_r, idx)
-    table = jnp.concatenate([sph_table, rect_table], axis=0)
+        idx = jnp.where(wins, offset + i_r, idx)
+    parts.append(rect_table)
+    offset += rect_table.shape[0]
+    if f.has_boxes or f.has_media:
+        # box/media counts are tiny; their [R,N] sweeps stay in XLA
+        ro3 = jnp.stack([state.rox, state.roy, state.roz], axis=1)
+        rd3 = jnp.stack([state.rdx, state.rdy, state.rdz], axis=1)
+    if f.has_boxes:
+        t_b, i_b = isect.box_nearest(boxes, ro3, rd3)
+        wins = t_b < t
+        t = jnp.where(wins, t_b, t)
+        idx = jnp.where(wins, offset + i_b, idx)
+    if box_table is not None:
+        parts.append(box_table)
+        offset += box_table.shape[0]
+    if f.has_media:
+        med_u = jnp.stack(
+            [counter_uniform(state.lane, seed, depth, 8 + j)
+             for j in range(media.count)], axis=-1,
+        )
+        t_m, i_m = isect.media_nearest(media, ro3, rd3, med_u)
+        wins = t_m < t
+        t = jnp.where(wins, t_m, t)
+        idx = jnp.where(wins, offset + i_m, idx)
+    if media_table is not None:
+        parts.append(media_table)
+    table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     attrs = table[idx]                                   # ONE row gather
     attr_planes = [attrs[:, k] for k in range(attrs.shape[1])]
 
@@ -734,16 +780,29 @@ def fast_bounce_fused(
     jax.jit, static_argnames=("max_depth", "features", "group")
 )
 def _bounce_group_fused_jit(tables, sky, grad_sky, state, seed,
-                            depth0, max_depth, features, scene,
+                            depth0, max_depth, features, prims,
                             group: int = 1):
+    """``prims``: (spheres, rects, boxes, media) with absent kinds None —
+    the bounce needs no other scene leaves (shading data is in the
+    prebuilt tables), and keeping unused pytrees out of the signature
+    keeps the argument list honest."""
     segs = jnp.int32(0)
     for g in range(group):
         segs = segs + jnp.sum(state.alive, dtype=jnp.int32)
-        state = fast_bounce_fused(
+        state = _fast_bounce_fused_prims(
             tables, sky, grad_sky, state, seed, depth0 + g,
-            max_depth, features, scene=scene,
+            max_depth, features, prims,
         )
     return state, segs
+
+
+def _scene_prims(scene: Scene, features: SceneFeatures):
+    return (
+        scene.spheres if features.has_spheres else None,
+        scene.rects if features.has_rects else None,
+        scene.boxes if features.has_boxes else None,
+        scene.media if features.has_media else None,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("features",))
@@ -930,10 +989,12 @@ def trace_fast(
             lane=jnp.arange(lane_offset, lane_offset + Rp, dtype=jnp.uint32),
         )
 
+        prims = _scene_prims(scene, features)
+
         def step(state, depth, g):
             return _bounce_group_fused_jit(
                 tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
-                max_depth, features, scene, group=g,
+                max_depth, features, prims, group=g,
             )
 
         # fused bounce graphs are small (no [R,3] fusion temps), so bounce
@@ -981,9 +1042,16 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
     compaction to rung(lagged) can never drop a live ray, and the
     termination check is merely one group conservative.
     """
-    dtype = state.thr_r.dtype if hasattr(state, "thr_r") else state.radiance.dtype
-    out_radiance = jnp.zeros((R, 3), dtype)
+    plane_out = len(radiance_fields) == 3
+    if plane_out:
+        dtype = state.thr_r.dtype
+        out_radiance = tuple(jnp.zeros(R, dtype) for _ in range(3))
+    else:
+        dtype = state.radiance.dtype
+        out_radiance = jnp.zeros((R, 3), dtype)
     indices = jnp.arange(R, dtype=jnp.int32)
+    identity = True  # indices untouched until the first compaction:
+                     # flushes are dense adds, not scatters
     ray_count = 0
     size = R
     pending = None   # (device alive-after, device segs-in-group)
@@ -1002,16 +1070,27 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                 break
             if compaction:
                 next_size = _rung(int(lag_alive), min_size)
-                if next_size <= size // 2:
+                # Measured economics (tools/ladder_trace.py): a large-R
+                # compaction costs ~4 bounces' worth of work (cumsum +
+                # scatter + 12 plane gathers at multi-M scale), so above
+                # ~512k lanes wait for a 4x shrink; below that compacts are
+                # dispatch-floor cheap and a near-half shrink already pays.
+                bar = size // 4 if size > (1 << 19) else int(size * 0.6)
+                if next_size <= bar:
                     out_radiance, state, indices = _compact(
                         out_radiance, state, indices, next_size,
                         radiance_fields=radiance_fields,
+                        identity=identity,
                     )
                     size = next_size
+                    identity = False
         pending = new_pending
     if pending is not None:
         ray_count += int(pending[1])
 
     out_radiance = _final_flush(out_radiance, state, indices,
-                                radiance_fields=radiance_fields)
+                                radiance_fields=radiance_fields,
+                                identity=identity)
+    if plane_out:
+        out_radiance = jnp.stack(out_radiance, axis=1)
     return out_radiance, ray_count

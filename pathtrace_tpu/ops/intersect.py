@@ -34,7 +34,11 @@ from pathtrace_tpu.models.types import (
     MEDIUM_SPHERE,
 )
 
-_INF = jnp.float32(MAX_T)
+# python float, NOT a jnp scalar: a module-level jax array becomes a
+# hoisted const_arg in every jaxpr that uses it, and jax 0.9's executable
+# const bookkeeping miscounts it on repeated jit calls ("Execution
+# supplied N buffers but compiled program expected N+1")
+_INF = float(MAX_T)
 _PI = 3.14159265358979
 _HALF_PI = 1.5707963267948966
 _INV_PI = 1.0 / _PI

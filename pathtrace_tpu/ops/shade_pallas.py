@@ -46,8 +46,11 @@ from pathtrace_tpu.models.types import (
 from pathtrace_tpu.ops.fastpath import (
     COL_KIND,
     GEO,
+    KIND_BOX,
+    KIND_MEDIUM,
     KIND_RECT,
     TWO_PI,
+    attr_width,
     cbrt_pos,
     counter_uniform,
     fast_turb_c,
@@ -55,8 +58,6 @@ from pathtrace_tpu.ops.fastpath import (
 
 _INF = float(MAX_T)
 
-# plane order after the two SMEM refs: t, a0..a23, then the state planes
-_N_ATTR = 24
 _STATE_FIELDS = (
     "rox", "roy", "roz", "rdx", "rdy", "rdz", "time",
     "thr_r", "thr_g", "thr_b", "rad_r", "rad_g", "rad_b",
@@ -65,17 +66,17 @@ _STATE_FIELDS = (
 
 
 def fused_shade_supported(features: SceneFeatures) -> bool:
-    """Sphere/rect scenes; boxes/media carry 48-wide attr rows and image
-    textures need an XLA atlas gather mid-shade."""
-    return not (features.has_boxes or features.has_media or features.has_image)
+    """Every scene class except image textures, whose atlas lookup is an
+    XLA gather mid-shade (sphere UV -> texel fetch)."""
+    return not features.has_image
 
 
-def _shade_kernel(*refs, f: SceneFeatures, max_depth: int):
+def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
     si = refs[0]           # SMEM (1,2) i32: seed, depth
     sf = refs[1]           # SMEM (1,4) f32: sky r/g/b, use_gradient_sky
     t = refs[2][...]
-    a = [refs[3 + k][...] for k in range(_N_ATTR)]
-    base = 3 + _N_ATTR
+    a = [refs[3 + k][...] for k in range(n_attr)]
+    base = 3 + n_attr
     (rox, roy, roz, rdx, rdy, rdz, time,
      thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
      alive_f, lane_i) = [refs[base + k][...] for k in range(len(_STATE_FIELDS))]
@@ -109,6 +110,64 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int):
         nx = jnp.where(is_rect, (axis == 0.0).astype(px.dtype) * flip, nx)
         ny = jnp.where(is_rect, (axis == 1.0).astype(px.dtype) * flip, ny)
         nz = jnp.where(is_rect, (axis == 2.0).astype(px.dtype) * flip, nz)
+    if f.has_boxes:
+        # box normal: redo the slab test in object space from the winner's
+        # affine columns (mirrors fast_bounce's box branch, which mirrors
+        # ops.intersect.box_record)
+        ofw = lambda r, c: a[GEO + 6 + r * 4 + c]
+        ro_o = [
+            ofw(r, 0) * rox + ofw(r, 1) * roy + ofw(r, 2) * roz + ofw(r, 3)
+            for r in range(3)
+        ]
+        rd_o = [
+            ofw(r, 0) * rdx + ofw(r, 1) * rdy + ofw(r, 2) * rdz
+            for r in range(3)
+        ]
+        rd_o = [jnp.where(jnp.abs(v) < 1e-12, 1e-12, v) for v in rd_o]
+        tn3, tf3 = [], []
+        for r in range(3):
+            rcp = 1.0 / rd_o[r]
+            d0 = (a[GEO + r] - ro_o[r]) * rcp
+            d1 = (a[GEO + 3 + r] - ro_o[r]) * rcp
+            tn3.append(jnp.minimum(d0, d1))
+            tf3.append(jnp.maximum(d0, d1))
+        t_enter = jnp.maximum(jnp.maximum(tn3[0], tn3[1]), tn3[2])
+        # first-max / first-min semantics match jnp.argmax/argmin
+        enter_axis = jnp.where(tn3[1] > tn3[0], 1, 0)
+        enter_axis = jnp.where(
+            tn3[2] > jnp.maximum(tn3[0], tn3[1]), 2, enter_axis
+        )
+        exit_axis = jnp.where(tf3[1] < tf3[0], 1, 0)
+        exit_axis = jnp.where(
+            tf3[2] < jnp.minimum(tf3[0], tf3[1]), 2, exit_axis
+        )
+        is_entry = jnp.abs(t_safe - t_enter) < 1e-4 * jnp.maximum(
+            jnp.abs(t_safe), 1.0
+        )
+        face_axis = jnp.where(is_entry, enter_axis, exit_axis)
+        fa0 = (face_axis == 0).astype(px.dtype)
+        fa1 = (face_axis == 1).astype(px.dtype)
+        fa2 = (face_axis == 2).astype(px.dtype)
+        rd_sel = fa0 * rd_o[0] + fa1 * rd_o[1] + fa2 * rd_o[2]
+        sign_d = jnp.sign(rd_sel)
+        n_sign = jnp.where(is_entry, -sign_d, sign_d)
+        n_obj = [fa0 * n_sign, fa1 * n_sign, fa2 * n_sign]
+        wfo = lambda r, c: a[GEO + 18 + r * 3 + c]
+        is_box = kind == KIND_BOX
+        for r, nc in ((0, "x"), (1, "y"), (2, "z")):
+            bn = wfo(r, 0) * n_obj[0] + wfo(r, 1) * n_obj[1] + wfo(r, 2) * n_obj[2]
+            if r == 0:
+                nx = jnp.where(is_box, bn, nx)
+            elif r == 1:
+                ny = jnp.where(is_box, bn, ny)
+            else:
+                nz = jnp.where(is_box, bn, nz)
+    if f.has_media:
+        # arbitrary normal; the isotropic phase function ignores it
+        is_med = kind == KIND_MEDIUM
+        nx = jnp.where(is_med, 1.0, nx)
+        ny = jnp.where(is_med, 0.0, ny)
+        nz = jnp.where(is_med, 0.0, nz)
 
     tex_kind = a[3]
     rgb_r, rgb_g, rgb_b = a[4], a[5], a[6]
@@ -294,7 +353,8 @@ def shade_bounce_planes(t, attr_planes, state_planes, seed, depth,
     ospec = pl.BlockSpec((bs, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 13
 
-    kernel = functools.partial(_shade_kernel, f=features, max_depth=max_depth)
+    kernel = functools.partial(_shade_kernel, f=features, max_depth=max_depth,
+                               n_attr=len(attr_planes))
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -78,6 +78,7 @@ def trace_compacted(
 
     out_radiance = jnp.zeros((R, 3), ro.dtype)
     indices = jnp.arange(R, dtype=jnp.int32)
+    identity = True  # dense flush until the first compaction re-slots rays
     state = integrator._initial_state(ro, rd, time)
     size = R
     ray_count = 0
@@ -92,11 +93,13 @@ def trace_compacted(
         next_size = _rung(n_alive, min_size)
         if next_size <= size // 2:
             out_radiance, state, indices = _compact(
-                out_radiance, state, indices, next_size
+                out_radiance, state, indices, next_size, identity=identity
             )
             size = next_size
+            identity = False
 
-    out_radiance = _final_flush(out_radiance, state, indices)
+    out_radiance = _final_flush(out_radiance, state, indices,
+                                identity=identity)
     return out_radiance, ray_count
 
 

@@ -76,8 +76,10 @@ def assert_states_close(s1: fp.FastState, s2: fp.FastStateP):
 
 
 # every fused-eligible scene class: plain lam/metal/diel spheres, noise
-# textures, emissive + black sky, moving spheres + checker
-FUSED_PRESETS = ["small", "two_perlin_spheres", "simple_light", "random"]
+# textures, emissive + black sky, moving spheres + checker, rect/box
+# cornell, constant-density media, sphere-walled smallpt
+FUSED_PRESETS = ["small", "two_perlin_spheres", "simple_light", "random",
+                 "cornell", "cornell_smoke", "smallpt"]
 
 
 class TestFusedParity:
