@@ -70,16 +70,25 @@ def main() -> int:
     img, rays = run(0)
     np.asarray(img)
 
-    # steady state: best-of to shed scheduling noise; each frame timed to
-    # full host readback (block_until_ready is a no-op on this platform)
-    n_frames = 3
-    best = 0.0
+    # Steady-state sustained throughput over a progressive-accumulation
+    # burst: frames accumulate on device and the host reads back ONCE at
+    # the end, so frame N+1's dispatches pipeline behind frame N's device
+    # work — exactly how the progressive driver (and the reference's
+    # rolling interactive meter, glium_window.rs:112-128) runs. Each frame
+    # varies its key/seed (identical calls get elided on this stack), and
+    # the final np.asarray is the only true completion barrier
+    # (block_until_ready is a no-op on this platform).
+    n_frames = 6
+    total_rays = 0
+    acc = None
+    t0 = time.perf_counter()
     for f in range(1, n_frames + 1):
-        t0 = time.perf_counter()
         img, rays = run(f)
-        np.asarray(img)
-        dt = time.perf_counter() - t0
-        best = max(best, rays / 1e6 / dt)
+        acc = img if acc is None else acc + img
+        total_rays += rays
+    np.asarray(acc)
+    dt = time.perf_counter() - t0
+    best = total_rays / 1e6 / dt
 
     print(
         json.dumps(

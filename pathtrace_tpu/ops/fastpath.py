@@ -752,7 +752,12 @@ def _fast_bounce_fused_prims(
         parts.append(media_table)
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     attrs = table[idx]                                   # ONE row gather
-    attr_planes = [attrs[:, k] for k in range(attrs.shape[1])]
+    # deliver attrs as ONE (rows, K, 128) array — a single minor-dim
+    # transpose instead of K strided column extracts (the extracts cost
+    # ~27 ms/1M rays vs ~5 ms for the transpose; tools/split_probe.py).
+    # The kernel reads attr k as a static middle-dim slice.
+    R, K = attrs.shape
+    attrs3 = attrs.reshape(R // 128, 128, K).transpose(0, 2, 1)
 
     state_planes = {
         "rox": state.rox, "roy": state.roy, "roz": state.roz,
@@ -764,7 +769,7 @@ def _fast_bounce_fused_prims(
         "lane": state.lane.astype(jnp.int32),
     }
     outs = shade_bounce_planes(
-        t, attr_planes, state_planes, seed, depth, sky, use_gradient_sky,
+        t, attrs3, state_planes, seed, depth, sky, use_gradient_sky,
         features, max_depth,
     )
     return state._replace(

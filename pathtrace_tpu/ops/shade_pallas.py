@@ -7,10 +7,12 @@ dispatch ~40 ms per 1M rays. The XLA shading cost is not the arithmetic —
 a fused elementwise chain is nearly free — it is the two dozen strided
 column reads of the ``[R, 24]`` winner-attribute rows and the ``[R, 3]``
 fusion-boundary materializations (XLA pads the minor dim to 128 lanes).
-This kernel takes the attribute columns pre-split into packed ``[R]`` planes
-(one strided pass) plus the ray-state planes, and runs the entire
-texture/emission/BSDF/scatter computation at full VPU lane occupancy:
-every array in the kernel is a dense ``(rows, 128)`` f32 tile.
+This kernel takes the winner attributes as ONE ``(rows, K, 128)`` array —
+the row-gathered ``[R, K]`` attrs after a single minor-dim transpose, which
+measures ~5x cheaper than K strided column extracts (tools/split_probe.py) —
+plus the ray-state planes, and runs the entire texture/emission/BSDF/scatter
+computation at full VPU lane occupancy: every computed array in the kernel
+is a dense ``(rows, 128)`` f32 tile.
 
 The math MIRRORS :func:`pathtrace_tpu.ops.fastpath.fast_bounce` operation
 for operation (same RNG, same select order, same guards), so the fused and
@@ -75,8 +77,11 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
     si = refs[0]           # SMEM (1,2) i32: seed, depth
     sf = refs[1]           # SMEM (1,4) f32: sky r/g/b, use_gradient_sky
     t = refs[2][...]
-    a = [refs[3 + k][...] for k in range(n_attr)]
-    base = 3 + n_attr
+    # winner attrs arrive as ONE (bs, K, 128) block; attr k is a static
+    # middle-dim slice (sublane-strided read — measured far cheaper than
+    # K strided column extracts in XLA, tools/split_probe.py)
+    a = [refs[3][:, k, :] for k in range(n_attr)]
+    base = 4
     (rox, roy, roz, rdx, rdy, rdz, time,
      thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
      alive_f, lane_i) = [refs[base + k][...] for k in range(len(_STATE_FIELDS))]
@@ -306,18 +311,23 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
     outs[12][...] = jnp.where(can, 1.0, 0.0).astype(jnp.float32)
 
 
-def shade_bounce_planes(t, attr_planes, state_planes, seed, depth,
+def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
                         sky, use_gradient_sky, features: SceneFeatures,
                         max_depth: int):
     """Run the fused shade/scatter kernel on one wavefront.
 
-    ``t``: [R] hit distances. ``attr_planes``: 24 × [R] winner-attribute
-    columns. ``state_planes``: dict with keys ``_STATE_FIELDS`` ([R] planes;
+    ``t``: [R] hit distances. ``attrs3``: (R//128, K, 128) winner-attribute
+    array — the row-gathered ``[R, K]`` attrs reshaped to lane planes and
+    minor-transposed so the kernel slices attr k statically (one XLA
+    transpose instead of K strided column extracts).
+    ``state_planes``: dict with keys ``_STATE_FIELDS`` ([R] planes;
     ``alive`` f32 0/1, ``lane`` int32 bit-pattern of the uint32 lane ids).
     Returns 13 output planes: ro xyz, rd xyz, radiance rgb, throughput rgb,
     alive (f32 0/1).
     """
     R = t.shape[0]
+    n_attr = attrs3.shape[1]
+    assert attrs3.shape == (R // 128, n_attr, 128), attrs3.shape
     assert R % 128 == 0, "fused shading needs R % 128 == 0 (caller pads)"
     rows = R // 128
     # Mosaic block constraint: sublane dim divisible by 8, or whole-array.
@@ -341,30 +351,32 @@ def shade_bounce_planes(t, attr_planes, state_planes, seed, depth,
          jnp.asarray(use_gradient_sky, jnp.float32).reshape(1)]
     ).reshape(1, 4)
 
-    inputs = [si, sf, plane(t)]
-    inputs += [plane(p) for p in attr_planes]
+    inputs = [si, sf, plane(t), attrs3]
     for name in _STATE_FIELDS:
         inputs.append(plane(state_planes[name]))
 
     smem_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
     smem_spec4 = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
     pspec = pl.BlockSpec((bs, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    n_planes = len(inputs) - 2
+    aspec = pl.BlockSpec(
+        (bs, n_attr, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    n_state = len(_STATE_FIELDS)
     ospec = pl.BlockSpec((bs, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 13
 
     kernel = functools.partial(_shade_kernel, f=features, max_depth=max_depth,
-                               n_attr=len(attr_planes))
+                               n_attr=n_attr)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem_spec, smem_spec4] + [pspec] * n_planes,
+        in_specs=[smem_spec, smem_spec4, pspec, aspec] + [pspec] * n_state,
         out_specs=tuple([ospec] * 13),
         out_shape=tuple(out_shape),
         interpret=jax.default_backend() != "tpu",
         cost_estimate=pl.CostEstimate(
             flops=R * 250,
-            bytes_accessed=R * 4 * (n_planes + 13),
+            bytes_accessed=R * 4 * (n_attr + n_state + 14),
             transcendentals=R * 10,
         ),
     )(*inputs)

@@ -189,8 +189,10 @@ def main() -> int:
     from pathtrace_tpu.ops.shade_pallas import shade_bounce_planes
 
     t0p, attrs0 = fp.nearest_hit_attrs(tables, ro, rd, tm, features, scene)
-    aplanes = [attrs0[:, k] for k in range(attrs0.shape[1])]
-    aplanes = [jax.device_put(p) for p in aplanes]
+    Rk, Kk = attrs0.shape
+    attrs3 = jax.device_put(
+        attrs0.reshape(Rk // 128, 128, Kk).transpose(0, 2, 1)
+    )
     t0p = jax.device_put(t0p)
     spl = {
         "rox": stateP.rox, "roy": stateP.roy, "roz": stateP.roz,
@@ -207,7 +209,7 @@ def main() -> int:
         sp = dict(spl)
         sp["rox"] = sp["rox"] + e
         outs = shade_bounce_planes(
-            t0p, aplanes, sp, jnp.int32(7), jnp.int32(0), sky, gsky,
+            t0p, attrs3, sp, jnp.int32(7), jnp.int32(0), sky, gsky,
             features, 10,
         )
         return jnp.sum(outs[0]) + jnp.sum(outs[6])
@@ -227,6 +229,17 @@ def main() -> int:
 
     results["gather_split"] = timed(
         lambda i: f_gsplit(jnp.float32(i * 1e-6)), args.repeats
+    )
+
+    @jax.jit
+    def f_gtrans(e):
+        t, attrs = fp.nearest_hit_attrs(tables, ro + e, rd, tm, features, scene)
+        Rg, Kg = attrs.shape
+        a3 = attrs.reshape(Rg // 128, 128, Kg).transpose(0, 2, 1)
+        return jnp.sum(t) + jnp.sum(a3)
+
+    results["gather_transpose"] = timed(
+        lambda i: f_gtrans(jnp.float32(i * 1e-6)), args.repeats
     )
 
     floor = results["dispatch_floor"]
