@@ -39,8 +39,13 @@ def _standard_camera(aspect: float, time1: float = 1.0, aperture: float = 0.1) -
     )
 
 
-def _random_impl(aspect: float, only_spheres: bool, seed: int) -> Tuple[Scene, Camera]:
-    """Shirley cover scene, ~488 spheres (reference src/presets.rs:89-215)."""
+def _random_impl(aspect: float, only_spheres: bool, seed: int,
+                 half_extent: int = 11) -> Tuple[Scene, Camera]:
+    """Shirley cover scene, ~488 spheres (reference src/presets.rs:89-215).
+
+    ``half_extent`` scales the small-sphere grid (11 -> the reference's
+    22x22; larger values build the XL stress scenes for the tiled-cull /
+    BVH scaling path)."""
     rng = np.random.default_rng(seed)
     b = SceneBuilder(perlin_rng=np.random.default_rng(seed))
 
@@ -49,8 +54,8 @@ def _random_impl(aspect: float, only_spheres: bool, seed: int) -> Tuple[Scene, C
     )
     b.sphere((0.0, -1000.0, 0.0), 1000.0, b.lambertian(checker))
 
-    for a in range(-11, 11):
-        for c in range(-11, 11):
+    for a in range(-half_extent, half_extent):
+        for c in range(-half_extent, half_extent):
             choose = rng.random()
             centre = np.array(
                 [a + 0.9 * rng.random(), 0.2, c + 0.9 * rng.random()], np.float32
@@ -80,7 +85,10 @@ def _random_impl(aspect: float, only_spheres: bool, seed: int) -> Tuple[Scene, C
     b.sphere((-4.0, 1.0, 0.0), 1.0, b.lambertian_color((0.4, 0.2, 0.1)))
     b.sphere((4.0, 1.0, 0.0), 1.0, b.metal((0.7, 0.6, 0.5), 0.0))
 
-    return b.finish(pad_multiple=128), _standard_camera(aspect)
+    return (
+        b.finish(pad_multiple=128, spatial_sort=True),
+        _standard_camera(aspect),
+    )
 
 
 def random(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
@@ -91,6 +99,15 @@ def random(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
 def random_spheres(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
     """Cover scene, static spheres only (src/presets.rs:81-87)."""
     return _random_impl(aspect, only_spheres=True, seed=seed)
+
+
+def random_spheres_xl(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
+    """TPU extension preset: the cover scene at a 64x64 grid (~4100
+    spheres). Not in the reference — a stress fixture for the in-kernel
+    tile-cull and BVH scaling paths (the reference's flat list stops
+    paying long before this size; its BVH exists for exactly this reason,
+    src/collision/bvh.rs)."""
+    return _random_impl(aspect, only_spheres=True, seed=seed, half_extent=32)
 
 
 def small(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
@@ -268,6 +285,7 @@ def final(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
 _REGISTRY: Dict[str, PresetFn] = {
     "random": random,
     "random_spheres": random_spheres,
+    "random_spheres_xl": random_spheres_xl,
     "small": small,
     "smallpt": smallpt,
     "cornell": cornell,

@@ -47,12 +47,14 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pathtrace_tpu.config import MAX_T, MIN_T
 from pathtrace_tpu.render.compact_util import (
     compact as _compact,
+    compact_rows as _compact_rows,
     final_flush as _final_flush,
     rung as _rung,
 )
@@ -698,6 +700,7 @@ def fast_bounce_fused(
 def _fast_bounce_fused_prims(
     tables, sky, use_gradient_sky, state: FastStateP,
     seed, depth, max_depth: int, features: SceneFeatures, prims,
+    cull: bool = False,
 ):
     from pathtrace_tpu.ops import intersect as isect
     from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas_cols
@@ -710,7 +713,7 @@ def _fast_bounce_fused_prims(
         t, idx = sphere_nearest_pallas_cols(
             spheres, state.rox, state.roy, state.roz,
             state.rdx, state.rdy, state.rdz, state.time,
-            MIN_T, MAX_T, has_motion=bool(f.has_motion),
+            MIN_T, MAX_T, has_motion=bool(f.has_motion), cull=cull,
         )
     else:
         t = jnp.full(state.rox.shape, _INF, state.rox.dtype)
@@ -782,21 +785,30 @@ def _fast_bounce_fused_prims(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_depth", "features", "group")
+    jax.jit, static_argnames=("max_depth", "features", "group", "cull_first")
 )
 def _bounce_group_fused_jit(tables, sky, grad_sky, state, seed,
                             depth0, max_depth, features, prims,
-                            group: int = 1):
+                            group: int = 1, cull_first: bool = False):
     """``prims``: (spheres, rects, boxes, media) with absent kinds None —
     the bounce needs no other scene leaves (shading data is in the
     prebuilt tables), and keeping unused pytrees out of the signature
-    keeps the argument list honest."""
+    keeps the argument list honest.
+
+    ``cull_first``: run the in-kernel per-tile AABB cull on the group's
+    FIRST bounce only. The cull decision is per 512-ray block, so it pays
+    only for coherent rays — camera (depth-0) blocks share tight frusta
+    and skip most tiles; diffuse bounce blocks want the union of every
+    lane's tiles and the conditional machinery becomes pure overhead
+    (tools/cull_probe.py: XL primary 147->126 ms, scattered 151->211 ms).
+    The host ladder sets it for the depth-0 dispatch of big static scenes.
+    """
     segs = jnp.int32(0)
     for g in range(group):
         segs = segs + jnp.sum(state.alive, dtype=jnp.int32)
         state = _fast_bounce_fused_prims(
             tables, sky, grad_sky, state, seed, depth0 + g,
-            max_depth, features, prims,
+            max_depth, features, prims, cull=(cull_first and g == 0),
         )
     return state, segs
 
@@ -995,11 +1007,17 @@ def trace_fast(
         )
 
         prims = _scene_prims(scene, features)
+        n_tiles = (scene.spheres.center.shape[0] + 127) // 128
+        cull_scene = (
+            features.has_spheres and not features.has_motion
+            and n_tiles >= CULL_MIN_TILES
+        )
 
         def step(state, depth, g):
             return _bounce_group_fused_jit(
                 tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
                 max_depth, features, prims, group=g,
+                cull_first=cull_scene and depth == 0,
             )
 
         # fused bounce graphs are small (no [R,3] fusion temps), so bounce
@@ -1036,6 +1054,29 @@ def trace_fast(
     )
 
 
+# Above this many lanes, the ladder compacts by ROWS (cheap, eager);
+# at or below it, by exact lanes. Patchable for tests.
+LANE_COMPACT_MAX = 1 << 19
+
+# Static sphere scenes spanning at least this many 128-sphere tiles use the
+# in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.
+CULL_MIN_TILES = 8
+
+
+@jax.jit
+def _alive_counts_jit(alive):
+    """ONE dispatch returning [alive_lanes, alive_rows] (rows = 128-lane
+    groups with >= 1 live lane — the row-compaction currency)."""
+    lanes = jnp.sum(alive, dtype=jnp.int32)
+    if alive.shape[0] % 128 == 0:
+        rows = jnp.sum(
+            jnp.any(alive.reshape(-1, 128), axis=1), dtype=jnp.int32
+        )
+    else:
+        rows = lanes
+    return jnp.stack([lanes, rows])
+
+
 def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                  group_size_cap, radiance_fields):
     """Host-driven bounce loop with the lagged-sync compaction ladder.
@@ -1059,36 +1100,49 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                      # flushes are dense adds, not scatters
     ray_count = 0
     size = R
-    pending = None   # (device alive-after, device segs-in-group)
+    pending = None   # (device [lanes, rows] counts, device segs-in-group)
     depth = 0
     while depth <= max_depth:
         g_mem = group if (group_size_cap is None or size <= group_size_cap) else 1
         g = min(g_mem, max_depth + 1 - depth)
         state, segs = step(state, depth, g)
         depth += g
-        new_pending = (jnp.sum(state.alive), segs)
+        new_pending = (_alive_counts_jit(state.alive), segs)
         if pending is not None:
-            lag_alive, lag_segs = pending
+            lag_counts, lag_segs = pending
+            lag_lanes, lag_rows = (int(v) for v in np.asarray(lag_counts))
             ray_count += int(lag_segs)
-            if int(lag_alive) == 0:
+            if lag_lanes == 0:
                 pending = None
                 break
             if compaction:
-                next_size = _rung(int(lag_alive), min_size)
-                # Measured economics (tools/ladder_trace.py): a large-R
-                # compaction costs ~4 bounces' worth of work (cumsum +
-                # scatter + 12 plane gathers at multi-M scale), so above
-                # ~512k lanes wait for a 4x shrink; below that compacts are
-                # dispatch-floor cheap and a near-half shrink already pays.
-                bar = size // 4 if size > (1 << 19) else int(size * 0.6)
-                if next_size <= bar:
-                    out_radiance, state, indices = _compact(
-                        out_radiance, state, indices, next_size,
-                        radiance_fields=radiance_fields,
-                        identity=identity,
-                    )
-                    size = next_size
-                    identity = False
+                # Two-tier ladder (tools/frame_breakdown.py economics):
+                # multi-M wavefronts use ROW compaction — whole 128-lane
+                # rows whose lanes are all dead are dropped; the permute
+                # is built at row scale and every move is a contiguous
+                # row gather, so it is near-dispatch-floor cheap and can
+                # run eagerly. Once small, the exact lane compaction
+                # (packed row-gather form) takes over.
+                if size > LANE_COMPACT_MAX and size % 128 == 0:
+                    next_rows = _rung(lag_rows, max(min_size // 128, 1))
+                    if next_rows * 128 <= int(size * 0.75):
+                        out_radiance, state, indices = _compact_rows(
+                            out_radiance, state, indices, next_rows,
+                            radiance_fields=radiance_fields,
+                            identity=identity,
+                        )
+                        size = next_rows * 128
+                        identity = False
+                else:
+                    next_size = _rung(lag_lanes, min_size)
+                    if next_size <= int(size * 0.6):
+                        out_radiance, state, indices = _compact(
+                            out_radiance, state, indices, next_size,
+                            radiance_fields=radiance_fields,
+                            identity=identity,
+                        )
+                        size = next_size
+                        identity = False
         pending = new_pending
     if pending is not None:
         ray_count += int(pending[1])

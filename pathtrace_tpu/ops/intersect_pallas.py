@@ -90,6 +90,105 @@ def _kernel_static(
     i_out[:] = best_i
 
 
+def _kernel_static_culled(
+    rox, roy, roz, rdx, rdy, rdz,
+    cx, cy, cz, cc_m_r2, mask,
+    tlx, tly, tlz, thx, thy, thz,
+    t_out, i_out,
+    best_t_ref, best_i_ref,
+    *, n_tiles: int, t_min: float, t_max: float,
+):
+    """Static kernel with per-tile AABB culling — the in-kernel BVH level.
+
+    Each 128-sphere tile carries a conservative AABB (SMEM scalars). Before
+    running a tile's [TILE_R x TILE_N] quadratic sweep, every ray slab-tests
+    the tile box against its RUNNING best t; if no ray in the block can
+    improve inside the box, the whole tile body is skipped via ``pl.when``
+    (a real scf.if — the VPU work never issues). This is the TPU analog of
+    a 2-level BVH: node tests are per-(ray-block x tile) and amortize over
+    TILE_R * TILE_N lane-ops of skipped leaf work. Skips are conservative
+    (sphere ⊆ tile box, eps-padded at build), so results are bit-identical
+    to :func:`_kernel_static`.
+    """
+    ro_x, ro_y, ro_z = rox[:], roy[:], roz[:]            # [TILE_R, 1]
+    rd_x, rd_y, rd_z = rdx[:], rdy[:], rdz[:]
+    ro_d = ro_x * rd_x + ro_y * rd_y + ro_z * rd_z
+    ro_ro = ro_x * ro_x + ro_y * ro_y + ro_z * ro_z
+
+    # conservative reciprocal directions: |d| ~ 0 handled by interval logic
+    eps = 1e-12
+    big = 1e30
+    inv_x = jnp.where(jnp.abs(rd_x) > eps, 1.0 / rd_x, big)
+    inv_y = jnp.where(jnp.abs(rd_y) > eps, 1.0 / rd_y, big)
+    inv_z = jnp.where(jnp.abs(rd_z) > eps, 1.0 / rd_z, big)
+    par_x = jnp.abs(rd_x) <= eps
+    par_y = jnp.abs(rd_y) <= eps
+    par_z = jnp.abs(rd_z) <= eps
+
+    best_t_ref[:] = jnp.full((TILE_R, 1), _INF, jnp.float32)
+    best_i_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
+
+    def axis_interval(lo, hi, o, inv, par):
+        t0 = (lo - o) * inv
+        t1 = (hi - o) * inv
+        tn = jnp.minimum(t0, t1)
+        tx = jnp.maximum(t0, t1)
+        # axis-parallel ray: inside the slab -> whole line; outside -> empty
+        inside = (o >= lo) & (o <= hi)
+        tn = jnp.where(par, jnp.where(inside, -big, big), tn)
+        tx = jnp.where(par, jnp.where(inside, big, -big), tx)
+        return tn, tx
+
+    def tile_step(k, carry):
+        lox, loy, loz = tlx[k], tly[k], tlz[k]
+        hix, hiy, hiz = thx[k], thy[k], thz[k]
+        tnx, txx = axis_interval(lox, hix, ro_x, inv_x, par_x)
+        tny, txy = axis_interval(loy, hiy, ro_y, inv_y, par_y)
+        tnz, txz = axis_interval(loz, hiz, ro_z, inv_z, par_z)
+        tenter = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+        texit = jnp.minimum(jnp.minimum(txx, txy), txz)
+        cur = best_t_ref[:]
+        want = (
+            (texit >= tenter) & (texit > t_min)
+            & (tenter < jnp.minimum(cur, t_max))
+        )
+        any_want = jnp.sum(want.astype(jnp.float32)) > 0.0
+
+        @pl.when(any_want)
+        def _():
+            sl = pl.ds(k * TILE_N, TILE_N)
+            scx = cx[0:1, sl]                            # [1, TILE_N]
+            scy = cy[0:1, sl]
+            scz = cz[0:1, sl]
+            sc2 = cc_m_r2[0:1, sl]
+            smask = mask[0:1, sl]
+
+            b = ro_d - (scx * rd_x + scy * rd_y + scz * rd_z)
+            c = ro_ro - 2.0 * (scx * ro_x + scy * ro_y + scz * ro_z) + sc2
+            disc = b * b - c
+            valid = (disc > 0.0) & (smask > 0)
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = -b - sq
+            t1 = -b + sq
+            t0_ok = valid & (t0 > t_min) & (t0 < t_max)
+            t1_ok = valid & (t1 > t_min) & (t1 < t_max)
+            t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, _INF))
+
+            tile_min = jnp.min(t, axis=1, keepdims=True)
+            tile_arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
+            cur_t = best_t_ref[:]
+            cur_i = best_i_ref[:]
+            better = tile_min < cur_t
+            best_t_ref[:] = jnp.where(better, tile_min, cur_t)
+            best_i_ref[:] = jnp.where(better, k * TILE_N + tile_arg, cur_i)
+
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, tile_step, 0)
+    t_out[:] = best_t_ref[:]
+    i_out[:] = best_i_ref[:]
+
+
 def _kernel_moving(
     rox, roy, roz, rdx, rdy, rdz, rtime,
     cx, cy, cz, cc_m_r2, mask,
@@ -168,18 +267,22 @@ def _pad_rays(x, rp):
     return jnp.concatenate([x, jnp.zeros((rp - r,) + x.shape[1:], x.dtype)], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("has_motion", "t_min", "t_max"))
+@functools.partial(
+    jax.jit, static_argnames=("has_motion", "t_min", "t_max", "cull")
+)
 def sphere_nearest_pallas_cols(spheres: Spheres, rox, roy, roz, rdx, rdy, rdz,
                                time, t_min=MIN_T, t_max=MAX_T,
-                               has_motion: bool = True):
+                               has_motion: bool = True, cull: bool = False):
     """Column-plane entry: same kernel, ray components as six [R] arrays.
 
     Used by the fused fast path, whose wavefront state lives in lane-packed
     planes — skips the [R, 3] column extracts of the array entry (the values
-    are identical either way)."""
+    are identical either way). ``cull=True`` (static scenes only) enables
+    the in-kernel per-tile AABB cull — bit-identical results."""
     cols = [c[:, None] for c in (rox, roy, roz, rdx, rdy, rdz)]
     return _sphere_nearest_call(
-        spheres, cols, time, float(t_min), float(t_max), bool(has_motion)
+        spheres, cols, time, float(t_min), float(t_max), bool(has_motion),
+        cull=bool(cull),
     )
 
 
@@ -189,13 +292,15 @@ def _sphere_nearest_pallas_impl(spheres: Spheres, ro, rd, time, t_min, t_max, ha
     return _sphere_nearest_call(spheres, cols, time, t_min, t_max, has_motion)
 
 
-def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max, has_motion):
+def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max,
+                         has_motion, cull: bool = False):
     R = ray_cols[0].shape[0]
     N = spheres.center.shape[0]
     n_pad = ((N + TILE_N - 1) // TILE_N) * TILE_N
     n_tiles = n_pad // TILE_N
     Rp = ((R + TILE_R - 1) // TILE_R) * TILE_R
     grid = (Rp // TILE_R,)
+    cull = cull and not has_motion and n_tiles > 1
 
     def pad_n(x, fill=0.0):
         if x.shape[0] == n_pad:
@@ -218,7 +323,43 @@ def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max, has_mot
     sph_spec = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    if not has_motion:
+    scratch_shapes = []
+    if cull:
+        # per-tile conservative AABBs (masked min/max over each 128-sphere
+        # tile; hollow spheres have negative radius -> use |r|), eps-padded.
+        # Empty (fully padded) tiles get an inverted box and always cull.
+        r_abs = jnp.abs(spheres.radius).astype(jnp.float32)
+
+        def tile_lo(c):
+            v = jnp.where(spheres.mask, c.astype(jnp.float32) - r_abs, _INF)
+            v = jnp.concatenate([v, jnp.full((n_pad - N,), _INF, jnp.float32)]) \
+                if n_pad != N else v
+            return v.reshape(n_tiles, TILE_N).min(axis=1) - 1e-3
+
+        def tile_hi(c):
+            v = jnp.where(spheres.mask, c.astype(jnp.float32) + r_abs, -_INF)
+            v = jnp.concatenate([v, jnp.full((n_pad - N,), -_INF, jnp.float32)]) \
+                if n_pad != N else v
+            return v.reshape(n_tiles, TILE_N).max(axis=1) + 1e-3
+
+        tlx = tile_lo(spheres.center[:, 0])
+        tly = tile_lo(spheres.center[:, 1])
+        tlz = tile_lo(spheres.center[:, 2])
+        thx = tile_hi(spheres.center[:, 0])
+        thy = tile_hi(spheres.center[:, 1])
+        thz = tile_hi(spheres.center[:, 2])
+        smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        kernel = functools.partial(
+            _kernel_static_culled, n_tiles=n_tiles,
+            t_min=float(t_min), t_max=float(t_max),
+        )
+        in_specs = [ray_spec] * 6 + [sph_spec] * 5 + [smem_spec] * 6
+        args = ray_cols + [cx, cy, cz, cc_m_r2, mask, tlx, tly, tlz, thx, thy, thz]
+        scratch_shapes = [
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.int32),
+        ]
+    elif not has_motion:
         kernel = functools.partial(
             _kernel_static, n_tiles=n_tiles, t_min=float(t_min), t_max=float(t_max)
         )
@@ -250,6 +391,7 @@ def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max, has_mot
             jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
         ),
+        scratch_shapes=scratch_shapes,
         # interpreter mode off-TPU so the kernel is testable on the CPU suite
         interpret=jax.default_backend() != "tpu",
         cost_estimate=pl.CostEstimate(

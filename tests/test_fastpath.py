@@ -94,6 +94,37 @@ class TestParity:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
         assert ca == cb
 
+    def test_row_compaction_bit_exact_invariance(self, monkeypatch):
+        """Force the row-compaction tier (normally > 512k lanes) at test
+        scale: results must be bit-identical to the uncompacted trace."""
+        from pathtrace_tpu.ops import fastpath as fp
+
+        monkeypatch.setattr(fp, "LANE_COMPACT_MAX", 256)
+        scene, cam = presets.small(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        ro, rd, tm = camera_rays(cam, 4096)
+        a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats, min_size=128)
+        monkeypatch.setattr(fp, "LANE_COMPACT_MAX", 1 << 19)
+        b, cb = trace_fast(scene, ro, rd, tm, 5, 8, feats, compaction=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        assert ca == cb
+
+    def test_primary_cull_bit_exact_end_to_end(self, monkeypatch):
+        """The depth-0 in-kernel tile cull (active for scenes >= 8 sphere
+        tiles) must not change a single bit of the render."""
+        from pathtrace_tpu.ops import fastpath as fp
+
+        # random_spheres spans 4 tiles; force the cull on via the patch
+        scene, cam = presets.random_spheres(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        ro, rd, tm = camera_rays(cam, 4096)
+        monkeypatch.setattr(fp, "CULL_MIN_TILES", 1)
+        a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats)
+        monkeypatch.setattr(fp, "CULL_MIN_TILES", 10_000)
+        b, cb = trace_fast(scene, ro, rd, tm, 5, 8, feats)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert ca == cb
+
     def test_deterministic_per_seed(self):
         scene, cam = presets.small(aspect=1.0)
         feats = SceneFeatures.from_scene(scene)

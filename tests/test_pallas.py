@@ -83,3 +83,58 @@ class TestKernelGradients:
         np.testing.assert_allclose(
             np.asarray(g_pal.radius), np.asarray(g_ref.radius), rtol=1e-2, atol=1e-3
         )
+
+
+class TestCulledKernel:
+    """The per-tile AABB cull must be invisible: bit-identical (t, idx)."""
+
+    def test_cull_bit_identical_scattered(self):
+        from pathtrace_tpu.ops.intersect_pallas import (
+            sphere_nearest_pallas_cols,
+        )
+
+        scene, _ = presets.random_spheres(aspect=1.0)
+        sph = scene.spheres
+        ro, rd = random_rays(2048, seed=11, spread=24.0)
+        tm = jnp.zeros(2048)
+
+        def run(cull):
+            return sphere_nearest_pallas_cols(
+                sph, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tm,
+                has_motion=False, cull=cull,
+            )
+
+        t0, i0 = run(False)
+        t1, i1 = run(True)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_cull_bit_identical_axis_parallel(self):
+        # axis-parallel rays exercise the conservative slab-interval logic
+        from pathtrace_tpu.ops.intersect_pallas import (
+            sphere_nearest_pallas_cols,
+        )
+
+        scene, _ = presets.random_spheres(aspect=1.0)
+        sph = scene.spheres
+        n = 512
+        ro = jax.random.uniform(jax.random.PRNGKey(3), (n, 3)) * 22 - 11
+        axis = np.arange(n) % 3
+        sign = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+        rd = np.zeros((n, 3), np.float32)
+        rd[np.arange(n), axis] = sign
+        rd = jnp.asarray(rd)
+        tm = jnp.zeros(n)
+
+        def run(cull):
+            return sphere_nearest_pallas_cols(
+                sph, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tm,
+                has_motion=False, cull=cull,
+            )
+
+        t0, i0 = run(False)
+        t1, i1 = run(True)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))

@@ -20,7 +20,9 @@ ALL = [
 
 class TestRegistry:
     def test_all_ten_presets_exist(self):
-        assert presets.names() == sorted(ALL)
+        # the 10 reference presets, plus TPU-extension stress fixtures
+        assert set(ALL) <= set(presets.names())
+        assert "random_spheres_xl" in presets.names()
 
     def test_unknown_returns_none(self):
         assert presets.from_name("nope", 1.0) is None

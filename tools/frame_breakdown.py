@@ -87,7 +87,7 @@ def main() -> int:
         st = st._replace(rox=st.rox + e)
         st, segs = fp._bounce_group_fused_jit(
             tables, sky, gsky, st, seed, jnp.int32(0), 10, features,
-            scene, group=1,
+            fp._scene_prims(scene, features), group=1,
         )
         return jnp.sum(st.rad_r) + jnp.sum(st.rdx)
 
