@@ -52,12 +52,16 @@ def main() -> int:
 
     use_fast = fastpath_supported(features, scene)
 
+    # optional argv override of the bounce-group size, for A/B sweeps
+    # (tools/group_sweep.py finds the default; this checks it end-to-end)
+    group = int(sys.argv[1]) if len(sys.argv) > 1 else None
+
     def run(frame):
         key = jax.random.PRNGKey(frame)
         if use_fast:
             img, rays = render_frame_fast(
                 scene, camera, width, height, samples, max_depth, key,
-                frame, features,
+                frame, features, group=group,
             )
             return img, int(rays)
         img, rays = render_frame_jit(

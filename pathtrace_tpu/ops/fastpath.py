@@ -884,11 +884,18 @@ def trace_fast_diff(
 def frame_chunk(features: SceneFeatures) -> int:
     """Rays per trace_fast launch-set.
 
-    The padded-HLO-temp blowup is driven by the 7-octave noise graph
-    (~18 GB at 3.7M rays); scenes without noise textures have a much
-    smaller bounce graph and render whole-frame without chunking overhead.
+    The padded-HLO-temp blowup is driven by the 7-octave noise graph in
+    XLA shading (~18 GB of lane-padded [R, 3] temps at 3.7M rays). Fused
+    Pallas shading computes the noise inside the kernel on packed
+    (rows, 128) planes, so only scenes still on the XLA shading path
+    (image textures, `fused_shade_supported` False) need the small chunk
+    when they also carry noise.
     """
-    return (1 << 20) if features.has_noise else (1 << 22)
+    from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
+
+    if features.has_noise and not fused_shade_supported(features):
+        return 1 << 20
+    return 1 << 22
 
 
 def render_frame_fast(
@@ -903,6 +910,7 @@ def render_frame_fast(
     features: SceneFeatures,
     min_size: int = 1 << 15,
     compaction: bool = True,
+    group: Optional[int] = None,
 ):
     """Whole-frame render via the fast path (host-driven loop).
 
@@ -925,7 +933,7 @@ def render_frame_fast(
     if R <= FRAME_CHUNK:
         radiance, ray_count = trace_fast(
             scene, ro, rd, t, seed, max_depth, features,
-            min_size=min_size, compaction=compaction,
+            min_size=min_size, compaction=compaction, group=group,
         )
     else:
         parts = []
@@ -935,7 +943,7 @@ def render_frame_fast(
             rad_c, cnt_c = trace_fast(
                 scene, ro[lo:hi], rd[lo:hi], t[lo:hi], seed, max_depth,
                 features, min_size=min_size, compaction=compaction,
-                lane_offset=lo,
+                group=group, lane_offset=lo,
             )
             parts.append(rad_c)
             ray_count += cnt_c
@@ -961,7 +969,7 @@ def trace_fast(
     features: SceneFeatures,
     min_size: int = 1 << 15,
     compaction: bool = True,
-    group: int = 2,
+    group: Optional[int] = None,
     lane_offset: int = 0,
 ) -> Tuple[jnp.ndarray, int]:
     """Host-driven fast trace with stream compaction.
@@ -973,6 +981,8 @@ def trace_fast(
     assert fastpath_supported(features)
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
+    if group is None:
+        group = DEFAULT_GROUP
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
 
@@ -1061,6 +1071,12 @@ LANE_COMPACT_MAX = 1 << 19
 # Static sphere scenes spanning at least this many 128-sphere tiles use the
 # in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.
 CULL_MIN_TILES = 8
+
+# Default bounces per dispatch. The sustained sweep (tools/group_sweep.py)
+# moved from g2 to g3/g4 once the two-tier ladder made compaction
+# near-free (g1 3.07 / g2 3.06 / g3 4.23 / g4 4.49 Mrays/s in-harness;
+# bench.py-level differences are inside this tunnel's ±15% run noise).
+DEFAULT_GROUP = 3
 
 
 @jax.jit

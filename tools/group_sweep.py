@@ -46,19 +46,23 @@ def main() -> int:
         )
         return rad, int(rays)
 
-    for group in (1, 2, 3, 4, 6):
+    groups = [int(g) for g in sys.argv[1:]] or [1, 2, 3, 4, 6]
+    for group in groups:
         rad, rays = run_frame(0, group)  # warmup/compile
         np.asarray(rad)
-        best = 0.0
-        for f in range(1, 3):
-            t0 = time.perf_counter()
+        # sustained burst to ONE readback — frames pipeline behind each
+        # other exactly as the progressive driver runs (bench.py semantics)
+        burst = 4
+        t0 = time.perf_counter()
+        total = 0
+        for f in range(1, 1 + burst):
             rad, rays = run_frame(f, group)
-            np.asarray(rad)
-            dt = time.perf_counter() - t0
-            best = max(best, rays / 1e6 / dt)
+            total += rays
+        np.asarray(rad)
+        dt = time.perf_counter() - t0
         print(json.dumps({
             "bench": f"group_sweep/g{group}",
-            "mrays_per_s": round(best, 2),
+            "mrays_per_s": round(total / 1e6 / dt, 2),
         }), flush=True)
     return 0
 

@@ -103,23 +103,39 @@ def main() -> int:
 
     _enable_compilation_cache()
 
-    records = [
+    specs = {
         # config 2: defocus-blur camera, 1280x720 @ 128spp (32 x 4spp frames)
-        measure("config2_1280x720_128spp", "random_spheres",
-                1280, 720, 128, 4, 10),
+        "config2_1280x720_128spp": (
+            "random_spheres", 1280, 720, 128, 4, 10, False),
         # config 3: textured + emissive classes at the default film
-        measure("config3_perlin_textured", "two_perlin_spheres",
-                1280, 720, 16, 4, 10),
-        measure("config3_emissive_lights", "simple_light",
-                1280, 720, 16, 4, 10),
+        "config3_perlin_textured": (
+            "two_perlin_spheres", 1280, 720, 16, 4, 10, False),
+        "config3_emissive_lights": (
+            "simple_light", 1280, 720, 16, 4, 10, False),
         # config 4: 500+ spheres, 1024 spp, compacted wavefront; both paths
-        measure("config4_1024spp_brute", "random_spheres",
-                200, 100, 1024, 8, 10),
-        measure("config4_1024spp_bvh", "random_spheres",
-                200, 100, 1024, 8, 10, use_bvh=True),
-    ]
+        "config4_1024spp_brute": (
+            "random_spheres", 200, 100, 1024, 8, 10, False),
+        "config4_1024spp_bvh": (
+            "random_spheres", 200, 100, 1024, 8, 10, True),
+    }
+    # argv filters by substring, e.g. `record_baselines.py config3` reruns
+    # just the noise/emissive legs; with a filter, existing records for
+    # other configs are kept and merged.
+    wanted = sys.argv[1:]
     out = os.path.join(os.path.dirname(__file__), "..",
                        "BASELINE_MEASURED.json")
+    old = {}
+    if wanted and os.path.exists(out):
+        with open(out) as f:
+            old = {r["config"]: r for r in json.load(f)["records"]}
+    records = []
+    for name, (preset, w, h, spp, sppf, depth, use_bvh) in specs.items():
+        if wanted and not any(s in name for s in wanted):
+            if name in old:
+                records.append(old[name])
+            continue
+        records.append(measure(name, preset, w, h, spp, sppf, depth,
+                               use_bvh=use_bvh))
     with open(out, "w") as f:
         json.dump({"note": "measured on the emulated axon TPU (PERF.md); "
                            "real v5e scales ~10^3 in compute",
