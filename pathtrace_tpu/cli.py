@@ -57,10 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", action="store_true", help="Use the Pallas sphere kernel")
     p.add_argument(
         "--mode", default="auto",
-        choices=["auto", "fast", "general", "compacted"],
+        choices=["auto", "fast", "general", "compacted", "sharded"],
         help="Render path: fast (pallas + compaction) when supported, the "
-             "general wavefront integrator, or the general integrator under "
-             "the host-driven compaction ladder",
+             "general wavefront integrator, the general integrator under "
+             "the host-driven compaction ladder, or sharded (data-parallel "
+             "frames over every visible device via the mesh layer — fused "
+             "fast shards when the scene class supports them)",
     )
     p.add_argument("--seed", type=int, default=0, help="Base RNG seed")
     p.add_argument(

@@ -881,6 +881,79 @@ def trace_fast_diff(
     return state.radiance, segs
 
 
+def trace_fast_device(
+    scene: Scene,
+    ro,
+    rd,
+    time,
+    seed,
+    max_depth: int,
+    features: SceneFeatures,
+    lane_offset=0,
+    alive_limit: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure-device fused fast trace: ``lax.scan`` over the bounce budget,
+    no host loop, no compaction. jit- and ``shard_map``-composable — the
+    multi-chip fast path (:mod:`pathtrace_tpu.parallel.mesh`) runs this in
+    every shard, so distributed renders ride the same Pallas closest-hit +
+    fused shading kernels as a single chip.
+
+    The counter-hash RNG is keyed on (lane, seed, depth, draw) only, and
+    ``lane_offset`` (may be traced, e.g. ``axis_index * shard_size``)
+    makes lane ids globally unique — a sharded render is therefore
+    bit-identical to the equivalent single-device trace, and shards need
+    no per-device key folding.
+
+    ``R`` must be a multiple of 1024 (plane-block granularity — the
+    sharded caller pads); lanes at or beyond ``alive_limit`` (global lane
+    id) are born dead: they trace no segments and contribute zero.
+    Returns (radiance [R, 3], ray_count []).
+    """
+    assert fastpath_supported(features)
+    from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
+
+    assert fused_shade_supported(features), (
+        "trace_fast_device covers fused-shading scenes; image-texture "
+        "scenes shard via the general integrator"
+    )
+    R = ro.shape[0]
+    assert R % 1024 == 0, "pad the per-shard ray count to 1024"
+    tables, sky, grad_sky = prep_tables(scene, features)
+    seed_arr = jnp.asarray(seed, jnp.int32)
+    lane = jnp.uint32(lane_offset) + jnp.arange(R, dtype=jnp.uint32)
+    alive = (
+        jnp.ones(R, bool) if alive_limit is None
+        else lane < jnp.uint32(alive_limit)
+    )
+    state = FastStateP(
+        rox=ro[:, 0], roy=ro[:, 1], roz=ro[:, 2],
+        rdx=rd[:, 0], rdy=rd[:, 1], rdz=rd[:, 2],
+        time=time,
+        rad_r=jnp.zeros(R, ro.dtype), rad_g=jnp.zeros(R, ro.dtype),
+        rad_b=jnp.zeros(R, ro.dtype),
+        thr_r=jnp.ones(R, ro.dtype), thr_g=jnp.ones(R, ro.dtype),
+        thr_b=jnp.ones(R, ro.dtype),
+        alive=alive, lane=lane,
+    )
+    prims = _scene_prims(scene, features)
+
+    def step(carry, depth):
+        st, segs = carry
+        segs = segs + jnp.sum(st.alive, dtype=jnp.int32)
+        st = _fast_bounce_fused_prims(
+            tables, sky, grad_sky, st, seed_arr, depth, max_depth,
+            features, prims,
+        )
+        return (st, segs), None
+
+    (state, segs), _ = jax.lax.scan(
+        step, (state, jnp.int32(0)),
+        jnp.arange(max_depth + 1, dtype=jnp.int32),
+    )
+    radiance = jnp.stack([state.rad_r, state.rad_g, state.rad_b], axis=-1)
+    return radiance, segs
+
+
 def frame_chunk(features: SceneFeatures) -> int:
     """Rays per trace_fast launch-set.
 

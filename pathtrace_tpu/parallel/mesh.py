@@ -58,17 +58,56 @@ def trace_sharded(
     features: SceneFeatures = None,
     sphere_nearest_fn=None,
     differentiable: bool = False,
+    mode: str = "general",
+    seed: int = 0,
+    alive_limit: int = None,
 ):
     """Trace a wavefront sharded over the mesh's ray axis.
 
     ``ro/rd``: [R, 3] with R divisible by mesh size. Scene replicated.
     Returns (radiance [R, 3] sharded, ray_count [] replicated via psum).
+
+    ``mode="fast"`` runs the fused fast path
+    (:func:`pathtrace_tpu.ops.fastpath.trace_fast_device` — Pallas
+    closest-hit + fused shading) in every shard: the production
+    multi-chip forward path. Its RNG is the counter hash keyed on
+    globally-unique lane ids (``axis_index * shard_R`` offsets), so the
+    sharded image is bit-identical to the single-device uncompacted
+    trace for the same ``seed`` — sharding is invisible, and no
+    per-device key folding is needed. ``alive_limit`` births lanes at or
+    beyond that global id dead (exact ray counts under padding).
     """
     features = features or SceneFeatures.all_on()
     n_dev = mesh.devices.size
     assert ro.shape[0] % n_dev == 0, (
         f"ray count {ro.shape[0]} not divisible by mesh size {n_dev}"
     )
+
+    if mode == "fast":
+        from pathtrace_tpu.ops import fastpath
+
+        shard_R = ro.shape[0] // n_dev
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+            out_specs=(P(RAY_AXIS), P()),
+            # pallas_call out_shapes carry no varying-mesh-axes annotation
+            check_vma=False,
+        )
+        def _shard_fast(scene_rep, ro_s, rd_s, time_s):
+            my = jax.lax.axis_index(RAY_AXIS)
+            radiance, count = fastpath.trace_fast_device(
+                scene_rep, ro_s, rd_s, time_s, seed, max_depth, features,
+                lane_offset=my.astype(jnp.uint32) * jnp.uint32(shard_R),
+                alive_limit=alive_limit,
+            )
+            total = jax.lax.psum(count, RAY_AXIS)
+            return radiance, total
+
+        return _shard_fast(scene, ro, rd, time)
+
     trace_fn = integrator.trace_diff if differentiable else integrator.trace
 
     @functools.partial(
@@ -104,6 +143,8 @@ def render_frame_sharded(
     features: SceneFeatures = None,
     sphere_nearest_fn=None,
     differentiable: bool = False,
+    mode: str = "general",
+    seed: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-frame render with the sample grid sharded across the mesh.
 
@@ -112,6 +153,10 @@ def render_frame_sharded(
     ray_count stays exact; the differentiable path instead aliases the
     first rays (NaN forward values would poison reverse-mode AD) and
     accepts a <= n_dev-1 primary-ray overcount in the metric.
+
+    ``mode="fast"``: every shard runs the fused Pallas fast path (see
+    :func:`trace_sharded`); padding is to ``n_dev * 1024`` (plane-block
+    granularity) with padding lanes born dead by global lane id.
     """
     n_dev = mesh.devices.size
     kray, ktrace = jax.random.split(key)
@@ -120,21 +165,34 @@ def render_frame_sharded(
     ro = ro.reshape(R, 3)
     rd = rd.reshape(R, 3)
     time = time.reshape(R)
-    Rp = pad_to_multiple(R, n_dev)
+    alive_limit = None
+    if mode == "fast":
+        Rp = pad_to_multiple(R, n_dev * 1024)
+        alive_limit = R
+    else:
+        Rp = pad_to_multiple(R, n_dev)
     if Rp != R:
         pad = Rp - R
-        ro = jnp.concatenate([ro, ro[:pad]], axis=0)
-        rd = jnp.concatenate([rd, rd[:pad]], axis=0)
-        pad_time = (
-            time[:pad] if differentiable
-            else jnp.full((pad,), jnp.nan, time.dtype)
-        )
-        time = jnp.concatenate([time, pad_time], axis=0)
+        reps = -(-pad // R)  # pad may exceed R in fast mode at tiny sizes
+
+        def tile(x):
+            return jnp.concatenate([x] + [x[:R]] * reps, axis=0)[:Rp]
+
+        ro, rd = tile(ro), tile(rd)
+        if mode == "fast" or differentiable:
+            # fast mode: padding lanes are born dead by lane id instead
+            # (NaNs would propagate through the plane kernels' selects)
+            time = tile(time)
+        else:
+            time = jnp.concatenate(
+                [time, jnp.full((pad,), jnp.nan, time.dtype)]
+            )
 
     radiance, ray_count = trace_sharded(
         scene, ro, rd, time, ktrace, max_depth, mesh,
         features=features, sphere_nearest_fn=sphere_nearest_fn,
-        differentiable=differentiable,
+        differentiable=differentiable, mode=mode, seed=seed,
+        alive_limit=alive_limit,
     )
     radiance = radiance[:R]
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)

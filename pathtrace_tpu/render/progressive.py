@@ -103,6 +103,30 @@ def render_progressive(
                 scene_arg, camera, params.width, params.height, params.samples,
                 params.max_depth, key, seed * 1000003 + frame_idx, features,
             )
+    elif mode == "sharded":
+        # data-parallel frame over ALL visible devices (parallel/mesh.py):
+        # fast fused shards when the scene class supports them, general
+        # integrator shards otherwise. On one device this is the same
+        # program with a 1-length mesh axis.
+        from pathtrace_tpu.ops.fastpath import fastpath_supported as _fsup
+        from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
+        from pathtrace_tpu.parallel import mesh as pmesh
+
+        render_mesh = pmesh.make_render_mesh()
+        log(f"mesh: {render_mesh.devices.size} device(s)")
+        shard_fast = (
+            _fsup(features, scene) and fused_shade_supported(features)
+            and intersect_fn is None and sphere_nearest_fn is None
+        )
+
+        def frame_fn(scene_arg, key, frame_idx):
+            return pmesh.render_frame_sharded(
+                scene_arg, camera, params.width, params.height,
+                params.samples, params.max_depth, key, render_mesh,
+                features=features, sphere_nearest_fn=sphere_nearest_fn,
+                mode="fast" if shard_fast else "general",
+                seed=seed * 1000003 + frame_idx,
+            )
     elif mode == "compacted":
         # general integrator under the host-driven compaction ladder
         from pathtrace_tpu.render.compaction import render_frame_compacted

@@ -34,6 +34,22 @@ class TestModes:
         )
         np.testing.assert_array_equal(r_auto.image, r_fast.image)
 
+    def test_sharded_agrees_with_fast(self):
+        # 8-device CPU mesh (conftest); fused fast shards for this scene
+        scene, cam = presets.small(aspect=1.0)
+        params = Params(width=32, height=32, samples=8, max_depth=6)
+        r_sh = render_progressive(
+            scene, cam, params, max_frames=2, mode="sharded",
+            log=lambda s: None,
+        )
+        r_fast = render_progressive(
+            scene, cam, params, max_frames=2, mode="fast", log=lambda s: None
+        )
+        assert_statistical_parity(
+            r_sh.image, r_fast.image, mae_tol=0.04, bias_tol=0.01
+        )
+        assert r_sh.total_rays > 0
+
     def test_earth_renders_under_auto(self):
         scene, cam = presets.earth(aspect=1.0)
         params = Params(width=16, height=16, samples=2, max_depth=3)
