@@ -94,6 +94,19 @@ class TestParity:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
         assert ca == cb
 
+    def test_device_trace_matches_host_ladder(self):
+        """trace_fast_device (pure-device scan, shard_map body) must equal
+        the host-ladder trace bit-for-bit: same kernels, same RNG keys."""
+        from pathtrace_tpu.ops.fastpath import trace_fast_device
+
+        scene, cam = presets.small(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        ro, rd, tm = camera_rays(cam, 2048)
+        a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats, compaction=False)
+        b, cb = trace_fast_device(scene, ro, rd, tm, 5, 8, feats)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert ca == int(cb)
+
     def test_row_compaction_bit_exact_invariance(self, monkeypatch):
         """Force the row-compaction tier (normally > 512k lanes) at test
         scale: results must be bit-identical to the uncompacted trace."""
