@@ -516,6 +516,40 @@ def bvh_scene_nearest(
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     R = ro.shape[0]
     rcp = 1.0 / jnp.where(jnp.abs(rd) < 1e-12, 1e-12, rd)
+    INF = jnp.float32(_INF)
+
+    # Packed node rows: per traversal step the loop needs bbox (6), escape,
+    # prim — and, for sphere leaves, the sphere itself. Separate per-plane
+    # gathers cost ~13 ms/1M each on this device while a row gather of the
+    # whole record costs ~6 ms/1M total (PERF.md), so everything rides ONE
+    # [M, W] f32 array: int planes bitcast to f32 (bits survive the gather),
+    # sphere leaf data inlined so the hot loop never touches scene arrays.
+    esc_f = jax.lax.bitcast_convert_type(bvh.escape, jnp.float32)
+    prim_f = jax.lax.bitcast_convert_type(bvh.prim, jnp.float32)
+    off_s, off_r, off_b, off_m = offsets
+    cols = [bvh.bb_min, bvh.bb_max, esc_f[:, None], prim_f[:, None]]
+    inline_spheres = f.has_spheres
+    if inline_spheres:
+        sph = scene.spheres
+        data = [sph.center, sph.radius[:, None]]
+        if f.has_motion:
+            data += [sph.center_delta, sph.time0[:, None],
+                     sph.inv_time_delta[:, None]]
+        sph_rows = jnp.concatenate(data, axis=1)           # [Ns, 4 or 9]
+        ns = sph_rows.shape[0]
+        lid = jnp.clip(bvh.prim - off_s, 0, ns - 1)
+        is_sph_leaf = (bvh.prim >= 0) & (bvh.prim < off_r)
+        cols.append(jnp.where(is_sph_leaf[:, None], sph_rows[lid], 0.0))
+    pack = jnp.concatenate(cols, axis=1)                   # [M, W]
+
+    # Non-sphere leaves are rare in sphere-heavy scenes; their (gathering)
+    # leaf tests run under a lax.cond only on steps where some lane is at one.
+    has_other = f.has_rects or f.has_boxes or f.has_media
+    f_other = f
+    if has_other and inline_spheres:
+        kw = {k: getattr(f, k) for k in SceneFeatures.__slots__}
+        kw["has_spheres"] = False
+        f_other = SceneFeatures(**kw)
 
     def cond(state):
         cursor, best_t, best_i, it = state
@@ -525,10 +559,11 @@ def bvh_scene_nearest(
         cursor, best_t, best_i, it = state
         active = cursor < n_nodes
         cur = jnp.minimum(cursor, n_nodes - 1)
-        mn = bvh.bb_min[cur]
-        mx = bvh.bb_max[cur]
-        prim = bvh.prim[cur]
-        esc = bvh.escape[cur]
+        row = pack[cur]                                    # ONE row gather
+        mn = row[:, 0:3]
+        mx = row[:, 3:6]
+        esc = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        prim = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
 
         d0 = (mn - ro) * rcp
         d1 = (mx - ro) * rcp
@@ -539,9 +574,42 @@ def bvh_scene_nearest(
         is_leaf = prim >= 0
         do_test = active & box_hit & is_leaf
         gid = jnp.where(do_test, prim, 0)
-        cand = _leaf_candidate(
-            scene, gid, offsets, f, ro, rd, time, med_u, best_t, t_min
-        )
+
+        cand = jnp.full((R,), _INF, jnp.float32)
+        if inline_spheres:
+            # same math as _leaf_candidate's sphere branch, inputs from the
+            # packed row — winners stay bit-identical to brute force
+            c0 = row[:, 8:11]
+            radius = row[:, 11]
+            if f.has_motion:
+                s = (time - row[:, 15]) * row[:, 16]
+                c0 = c0 + s[..., None] * row[:, 12:15]
+            oc = ro - c0
+            b = jnp.sum(oc * rd, axis=-1)
+            c = jnp.sum(oc * oc, axis=-1) - radius * radius
+            disc = b * b - c
+            sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+            tt0 = -b - sq
+            tt1 = -b + sq
+            valid = (disc > 0.0) & (gid < off_r)
+            t0_ok = valid & (tt0 > t_min) & (tt0 < best_t)
+            t1_ok = valid & (tt1 > t_min) & (tt1 < best_t)
+            cand = jnp.where(t0_ok, tt0, jnp.where(t1_ok, tt1, INF))
+        if has_other:
+            def _other(_):
+                return _leaf_candidate(
+                    scene, gid, offsets, f_other, ro, rd, time, med_u,
+                    best_t, t_min,
+                )
+            if inline_spheres:
+                cand_o = jax.lax.cond(
+                    jnp.any(do_test & (gid >= off_r)), _other,
+                    lambda _: jnp.full((R,), _INF, jnp.float32), 0,
+                )
+            else:
+                cand_o = _other(0)
+            cand = jnp.minimum(cand, cand_o)
+
         better = do_test & (cand < best_t)
         best_t = jnp.where(better, cand, best_t)
         best_i = jnp.where(better, gid, best_i)

@@ -43,13 +43,15 @@ from pathtrace_tpu.render.compact_util import (
 
 
 @functools.lru_cache(maxsize=None)
-def _bounce_jit(features: SceneFeatures, sphere_nearest_fn, max_depth: int):
+def _bounce_jit(features: SceneFeatures, sphere_nearest_fn, max_depth: int,
+                intersect_fn=None):
     """One-bounce program; shape specialization is handled by jit itself."""
 
     @jax.jit
     def bounce(scene, state, key):
         return integrator._bounce(
-            scene, state, key, max_depth, sphere_nearest_fn, features
+            scene, state, key, max_depth, sphere_nearest_fn, features,
+            intersect_fn=intersect_fn,
         )
 
     return bounce
@@ -64,17 +66,21 @@ def trace_compacted(
     max_depth: int,
     features: Optional[SceneFeatures] = None,
     sphere_nearest_fn=None,
+    intersect_fn=None,
     min_size: int = 1 << 13,
 ) -> Tuple[jnp.ndarray, int]:
     """Trace with host-driven stream compaction.
 
     Same estimator contract as ``integrator.trace`` (modulo RNG slotting;
     see module docstring). Returns (radiance [R, 3], ray_count int).
+    ``intersect_fn`` is the whole-scene override (the ``-B`` BVH): dead-lane
+    elimination matters most there, where every lane pays the traversal loop.
     """
     features = features or SceneFeatures.all_on()
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     R = ro.shape[0]
-    bounce = _bounce_jit(features, sphere_nearest_fn, max_depth)
+    bounce = _bounce_jit(features, sphere_nearest_fn, max_depth,
+                         intersect_fn=intersect_fn)
 
     out_radiance = jnp.zeros((R, 3), ro.dtype)
     indices = jnp.arange(R, dtype=jnp.int32)
@@ -113,6 +119,7 @@ def render_frame_compacted(
     key,
     features: Optional[SceneFeatures] = None,
     sphere_nearest_fn=None,
+    intersect_fn=None,
     min_size: int = 1 << 13,
 ):
     """Whole-frame render via the compaction ladder (host-driven)."""
@@ -124,7 +131,7 @@ def render_frame_compacted(
     radiance, ray_count = trace_compacted(
         scene, ro.reshape(R, 3), rd.reshape(R, 3), t.reshape(R), ktrace,
         max_depth, features=features, sphere_nearest_fn=sphere_nearest_fn,
-        min_size=min_size,
+        intersect_fn=intersect_fn, min_size=min_size,
     )
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)
     return img, ray_count

@@ -127,8 +127,10 @@ def render_progressive(
                 mode="fast" if shard_fast else "general",
                 seed=seed * 1000003 + frame_idx,
             )
-    elif mode == "compacted":
-        # general integrator under the host-driven compaction ladder
+    elif mode == "compacted" or (mode == "auto" and intersect_fn is not None):
+        # general integrator under the host-driven compaction ladder. -B in
+        # auto mode lands here: every lane pays the whole traversal loop, so
+        # dead-lane elimination between bounces matters most on the BVH path.
         from pathtrace_tpu.render.compaction import render_frame_compacted
 
         def frame_fn(scene_arg, key, frame_idx):
@@ -136,6 +138,7 @@ def render_progressive(
                 scene_arg, camera, params.width, params.height,
                 params.samples, params.max_depth, key, features=features,
                 sphere_nearest_fn=sphere_nearest_fn,
+                intersect_fn=intersect_fn,
             )
     else:
         @jax.jit

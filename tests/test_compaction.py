@@ -67,6 +67,37 @@ class TestTraceCompacted:
         # compaction changes RNG slotting; segment counts agree loosely
         assert abs(rays_cmp - int(rays_ref)) < 0.05 * int(rays_ref)
 
+    def test_bvh_intersect_fn_rides_the_ladder(self):
+        # -B in auto mode routes through the compaction ladder: the
+        # whole-scene-BVH intersect_fn must survive compaction re-slotting
+        from pathtrace_tpu.models import bvh as pbvh
+
+        scene, cam = presets.simple_light(aspect=1.0)  # spheres + rect
+        sc = (scene, cam)
+        feats = SceneFeatures.from_scene(scene)
+        flat, _, offsets = pbvh.build_scene_bvh(scene, seed=0)
+        ifn = pbvh.make_bvh_intersect_fn(flat, offsets, feats)
+        n = 512
+        ro, rd, tm = camera_rays(sc, n)
+        key = jax.random.PRNGKey(11)
+        r_ref, c_ref = integrator.trace(
+            scene, ro, rd, tm, key, 8, features=feats, intersect_fn=ifn
+        )
+        # exact twin with compaction disabled (same RNG slots)
+        r_off, c_off = trace_compacted(
+            scene, ro, rd, tm, key, 8, features=feats, intersect_fn=ifn,
+            min_size=n,
+        )
+        np.testing.assert_allclose(np.asarray(r_ref), np.asarray(r_off),
+                                   atol=1e-6)
+        assert int(c_ref) == c_off
+        # statistical twin with the ladder active
+        r_on, _ = trace_compacted(
+            scene, ro, rd, tm, key, 8, features=feats, intersect_fn=ifn,
+            min_size=64,
+        )
+        assert abs(float(r_on.mean()) - float(r_ref.mean())) < 0.05
+
     def test_ray_count_exactness_single_bounce(self):
         # black-sky scene of one light: every ray traces exactly once or twice
         from pathtrace_tpu.models.build import SceneBuilder

@@ -37,7 +37,6 @@ def run_frames(scene, camera, w, h, spp, depth, features, n_frames,
     acc = None
     if use_bvh:
         from pathtrace_tpu.models import bvh as pbvh
-        from pathtrace_tpu.render.frame import render_frame
 
         flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
         flat = jax.device_put(flat)
@@ -50,11 +49,11 @@ def run_frames(scene, camera, w, h, spp, depth, features, n_frames,
     for f in range(n_frames):
         key = jax.random.PRNGKey(f + 1)
         if use_bvh:
-            from pathtrace_tpu.render.frame import render_frame
+            from pathtrace_tpu.render.compaction import render_frame_compacted
 
-            img, rays = render_frame(
+            img, rays = render_frame_compacted(
                 scene_d, camera, w, h, spp, depth, key, features=features,
-                intersect_fn=intersect_fn, ray_chunk=1 << 19,
+                intersect_fn=intersect_fn,
             )
         else:
             from pathtrace_tpu.ops.fastpath import render_frame_fast
@@ -120,7 +119,7 @@ def main() -> int:
         "config4_1024spp_brute": (
             "random_spheres", 200, 100, 1024, 128, 10, False),
         "config4_1024spp_bvh": (
-            "random_spheres", 200, 100, 1024, 8, 10, True),
+            "random_spheres", 200, 100, 1024, 128, 10, True),
     }
     # argv filters by substring, e.g. `record_baselines.py config3` reruns
     # just the noise/emissive legs; with a filter, existing records for
