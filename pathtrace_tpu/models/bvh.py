@@ -37,6 +37,12 @@ from pathtrace_tpu.models.types import MEDIUM_SPHERE, Scene, SceneFeatures, Sphe
 
 _INF = float(MAX_T)
 
+# Straggler-slicing knobs (see bvh_scene_nearest): bulk lock-step
+# iterations before the unfinished-first partition, and slice count for
+# the tail phase. Swept on-device by tools/bvh_probe.py.
+_BULK_IT = 24
+_SLICE_N = 16
+
 
 @dataclasses.dataclass
 class FlatBVH:
@@ -555,69 +561,75 @@ def bvh_scene_nearest(
         cursor, best_t, best_i, it = state
         return jnp.any(cursor < n_nodes) & (it < 4 * n_nodes)
 
-    def body(state):
-        cursor, best_t, best_i, it = state
-        active = cursor < n_nodes
-        cur = jnp.minimum(cursor, n_nodes - 1)
-        row = pack[cur]                                    # ONE row gather
-        mn = row[:, 0:3]
-        mx = row[:, 3:6]
-        esc = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-        prim = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+    def make_step(ro_s, rd_s, rcp_s, time_s, med_u_s):
+        """One lock-step traversal step over the given ray set (any size)."""
+        Rs = ro_s.shape[0]
 
-        d0 = (mn - ro) * rcp
-        d1 = (mx - ro) * rcp
-        tn = jnp.max(jnp.minimum(d0, d1), axis=-1)
-        tf = jnp.min(jnp.maximum(d0, d1), axis=-1)
-        box_hit = jnp.minimum(tf, best_t) > jnp.maximum(tn, t_min)
+        def body(state):
+            cursor, best_t, best_i, it = state
+            active = cursor < n_nodes
+            cur = jnp.minimum(cursor, n_nodes - 1)
+            row = pack[cur]                                # ONE row gather
+            mn = row[:, 0:3]
+            mx = row[:, 3:6]
+            esc = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+            prim = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
 
-        is_leaf = prim >= 0
-        do_test = active & box_hit & is_leaf
-        gid = jnp.where(do_test, prim, 0)
+            d0 = (mn - ro_s) * rcp_s
+            d1 = (mx - ro_s) * rcp_s
+            tn = jnp.max(jnp.minimum(d0, d1), axis=-1)
+            tf = jnp.min(jnp.maximum(d0, d1), axis=-1)
+            box_hit = jnp.minimum(tf, best_t) > jnp.maximum(tn, t_min)
 
-        cand = jnp.full((R,), _INF, jnp.float32)
-        if inline_spheres:
-            # same math as _leaf_candidate's sphere branch, inputs from the
-            # packed row — winners stay bit-identical to brute force
-            c0 = row[:, 8:11]
-            radius = row[:, 11]
-            if f.has_motion:
-                s = (time - row[:, 15]) * row[:, 16]
-                c0 = c0 + s[..., None] * row[:, 12:15]
-            oc = ro - c0
-            b = jnp.sum(oc * rd, axis=-1)
-            c = jnp.sum(oc * oc, axis=-1) - radius * radius
-            disc = b * b - c
-            sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
-            tt0 = -b - sq
-            tt1 = -b + sq
-            valid = (disc > 0.0) & (gid < off_r)
-            t0_ok = valid & (tt0 > t_min) & (tt0 < best_t)
-            t1_ok = valid & (tt1 > t_min) & (tt1 < best_t)
-            cand = jnp.where(t0_ok, tt0, jnp.where(t1_ok, tt1, INF))
-        if has_other:
-            def _other(_):
-                return _leaf_candidate(
-                    scene, gid, offsets, f_other, ro, rd, time, med_u,
-                    best_t, t_min,
-                )
+            is_leaf = prim >= 0
+            do_test = active & box_hit & is_leaf
+            gid = jnp.where(do_test, prim, 0)
+
+            cand = jnp.full((Rs,), _INF, jnp.float32)
             if inline_spheres:
-                cand_o = jax.lax.cond(
-                    jnp.any(do_test & (gid >= off_r)), _other,
-                    lambda _: jnp.full((R,), _INF, jnp.float32), 0,
-                )
-            else:
-                cand_o = _other(0)
-            cand = jnp.minimum(cand, cand_o)
+                # same math as _leaf_candidate's sphere branch, inputs from
+                # the packed row — winners stay bit-identical to brute force
+                c0 = row[:, 8:11]
+                radius = row[:, 11]
+                if f.has_motion:
+                    s = (time_s - row[:, 15]) * row[:, 16]
+                    c0 = c0 + s[..., None] * row[:, 12:15]
+                oc = ro_s - c0
+                b = jnp.sum(oc * rd_s, axis=-1)
+                c = jnp.sum(oc * oc, axis=-1) - radius * radius
+                disc = b * b - c
+                sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+                tt0 = -b - sq
+                tt1 = -b + sq
+                valid = (disc > 0.0) & (gid < off_r)
+                t0_ok = valid & (tt0 > t_min) & (tt0 < best_t)
+                t1_ok = valid & (tt1 > t_min) & (tt1 < best_t)
+                cand = jnp.where(t0_ok, tt0, jnp.where(t1_ok, tt1, INF))
+            if has_other:
+                def _other(_):
+                    return _leaf_candidate(
+                        scene, gid, offsets, f_other, ro_s, rd_s, time_s,
+                        med_u_s, best_t, t_min,
+                    )
+                if inline_spheres:
+                    cand_o = jax.lax.cond(
+                        jnp.any(do_test & (gid >= off_r)), _other,
+                        lambda _: jnp.full((Rs,), _INF, jnp.float32), 0,
+                    )
+                else:
+                    cand_o = _other(0)
+                cand = jnp.minimum(cand, cand_o)
 
-        better = do_test & (cand < best_t)
-        best_t = jnp.where(better, cand, best_t)
-        best_i = jnp.where(better, gid, best_i)
+            better = do_test & (cand < best_t)
+            best_t = jnp.where(better, cand, best_t)
+            best_i = jnp.where(better, gid, best_i)
 
-        descend = active & box_hit & jnp.logical_not(is_leaf)
-        nxt = jnp.where(descend, cur + 1, esc)
-        cursor = jnp.where(active, nxt, cursor)
-        return cursor, best_t, best_i, it + 1
+            descend = active & box_hit & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, cur + 1, esc)
+            cursor = jnp.where(active, nxt, cursor)
+            return cursor, best_t, best_i, it + 1
+
+        return body
 
     init = (
         jnp.zeros(R, jnp.int32),
@@ -625,7 +637,80 @@ def bvh_scene_nearest(
         jnp.zeros(R, jnp.int32),
         jnp.int32(0),
     )
-    _, best_t, best_i, _ = jax.lax.while_loop(cond, body, init)
+    body_full = make_step(ro, rd, rcp, time, med_u)
+
+    # The lock-step loop pays the MAX traversal path over the wavefront
+    # (~100 steps on the cover scene) while the MEAN path is ~12: most
+    # lanes finish early and then ride along dead. Straggler slicing
+    # amortizes the tail with static shapes only: a bulk fori phase, then a
+    # stable unfinished-first partition, then SLICE_N independent
+    # while_loops over R/SLICE_N-sized slices — slices holding only
+    # finished lanes exit on their first cond, so tail steps cost R/8-sized
+    # iterations instead of full-R ones. Per-lane traversal is order-
+    # independent, so results are bit-identical to the plain loop.
+    BULK_IT = _BULK_IT
+    SLICE_N = _SLICE_N
+    sliced = (
+        R >= (1 << 15) and R % (128 * SLICE_N) == 0 and n_nodes >= 64
+    )
+    if not sliced:
+        _, best_t, best_i, _ = jax.lax.while_loop(cond, body_full, init)
+        best_t = jnp.where(best_t < t_max, best_t, jnp.float32(_INF))
+        return best_t, best_i
+
+    from pathtrace_tpu.render.compact_util import _pack_rows, _unpack_rows
+
+    state = jax.lax.fori_loop(0, BULK_IT, lambda i, s: body_full(s), init)
+    cursor, best_t, best_i, it = state
+
+    # stable partition: unfinished lanes to the front (same construction as
+    # compact_util.compact — one cumsum serves both sides)
+    unfinished = cursor < n_nodes
+    ui = unfinished.astype(jnp.int32)
+    prefix = jnp.cumsum(ui)
+    m = prefix[-1]
+    iota = jnp.arange(R, dtype=jnp.int32)
+    pos = jnp.where(unfinished, prefix - 1, m + iota - prefix)
+    order = jnp.zeros(R, jnp.int32).at[pos].set(iota)      # slot k -> ray id
+
+    # permute: [R] planes ride ONE packed row gather; [R,3] rows directly.
+    # DTYPE TRAP: the pack must be i32, not f32 — small ints bitcast to f32
+    # are denormals, and _pack_rows' minor-dim transpose lowers through the
+    # MXU on TPU, which flushes denormals to zero (observed: gid plane
+    # zeroed, t plane fine). f32 VALUES bitcast to i32 survive any integer
+    # movement, so everything rides the int pack. (The [M,17] node pack is
+    # safe the other way: it is concat + gather only — no transpose.)
+    bc = jax.lax.bitcast_convert_type
+    packed = _pack_rows(
+        [bc(best_t, jnp.int32), bc(time, jnp.int32), cursor, best_i], R,
+    )[order]
+    t_bits, tm_bits, cursor_p, best_i_p = _unpack_rows(packed, 4)
+    best_t_p = bc(t_bits, jnp.float32)
+    time_p = bc(tm_bits, jnp.float32)
+    ro_p, rd_p, rcp_p = ro[order], rd[order], rcp[order]
+    med_u_p = med_u[order] if (has_other and f.has_media) else None
+
+    Rs = R // SLICE_N
+    outs_t, outs_i = [], []
+    for s in range(SLICE_N):
+        sl = slice(s * Rs, (s + 1) * Rs)
+        body_s = make_step(
+            ro_p[sl], rd_p[sl], rcp_p[sl], time_p[sl],
+            med_u_p[sl] if med_u_p is not None else None,
+        )
+        st = jax.lax.while_loop(
+            cond, body_s, (cursor_p[sl], best_t_p[sl], best_i_p[sl], it)
+        )
+        outs_t.append(st[1])
+        outs_i.append(st[2])
+
+    # un-permute: ray i's result sits at slot pos[i] — ONE packed i32 row
+    # gather back (same denormal rule as above: t rides as bits)
+    out = _pack_rows(
+        [bc(jnp.concatenate(outs_t), jnp.int32), jnp.concatenate(outs_i)], R,
+    )[pos]
+    t_bits, best_i = _unpack_rows(out, 2)
+    best_t = bc(t_bits, jnp.float32)
     best_t = jnp.where(best_t < t_max, best_t, jnp.float32(_INF))
     return best_t, best_i
 

@@ -109,6 +109,39 @@ class TestTraversalEquivalence:
         # indices may differ only on exact ties; hit distances decide
         assert (np.asarray(i_bf)[hit_bf] == np.asarray(i_bvh)[hit_bf]).mean() > 0.999
 
+    def test_sliced_traversal_bit_matches_plain(self):
+        # R >= 32k engages the straggler-slicing phase (bulk fori +
+        # unfinished-first partition + 8 slice loops); per-lane traversal is
+        # order-independent, so it must be BIT-identical to the plain
+        # while_loop path (engaged here by chunking the same rays below
+        # the slicing threshold).
+        from pathtrace_tpu.models.types import SceneFeatures
+
+        scene, _ = presets.random_spheres(aspect=2.0)
+        feats = SceneFeatures.from_scene(scene)
+        flat, _, offsets = pbvh.build_scene_bvh(scene, seed=0)
+        R = 1 << 15
+        ro = jax.random.uniform(jax.random.PRNGKey(5), (R, 3)) * 24 - 12
+        d = jax.random.normal(jax.random.PRNGKey(6), (R, 3))
+        rd = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        tm = jnp.zeros(R)
+
+        t_sl, i_sl = pbvh.bvh_scene_nearest(
+            flat, scene, ro, rd, tm, None, features=feats, offsets=offsets
+        )
+        C = R // 4  # 8k chunks take the plain path
+        ts, is_ = [], []
+        for k in range(4):
+            s = slice(k * C, (k + 1) * C)
+            t_c, i_c = pbvh.bvh_scene_nearest(
+                flat, scene, ro[s], rd[s], tm[s], None, features=feats,
+                offsets=offsets,
+            )
+            ts.append(np.asarray(t_c))
+            is_.append(np.asarray(i_c))
+        np.testing.assert_array_equal(np.concatenate(ts), np.asarray(t_sl))
+        np.testing.assert_array_equal(np.concatenate(is_), np.asarray(i_sl))
+
     def test_moving_spheres(self):
         scene, _ = presets.random(aspect=1.0)  # motion-blurred variant
         mn, mx = pbvh.sphere_aabbs(scene.spheres)

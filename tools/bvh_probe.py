@@ -21,6 +21,10 @@ def main() -> int:
     ap.add_argument("--rays", type=int, default=160_000)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--preset", default="random_spheres")
+    ap.add_argument("--bulk", type=int, default=None,
+                    help="override _BULK_IT (slicing sweep)")
+    ap.add_argument("--slices", type=int, default=None,
+                    help="override _SLICE_N (slicing sweep)")
     args = ap.parse_args()
 
     from pathtrace_tpu.cli import _enable_compilation_cache
@@ -37,6 +41,10 @@ def main() -> int:
 
     scene, camera = presets.from_name(args.preset, aspect=2.0, seed=0)
     features = SceneFeatures.from_scene(scene)
+    if args.bulk is not None:
+        pbvh._BULK_IT = args.bulk
+    if args.slices is not None:
+        pbvh._SLICE_N = args.slices
     flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
     print(f"scene={args.preset} nodes={stats.node_count} "
           f"depth={stats.max_depth} rays={args.rays}", file=sys.stderr)
