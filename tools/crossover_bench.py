@@ -1,0 +1,111 @@
+"""Brute-force vs BVH crossover at scene scale.
+
+The reference keeps its BVH optional because the flat list is competitive
+at ~500 spheres (reference ``src/main.rs:63-66``); the BVH exists for
+bigger scenes. This tool measures WHERE the crossover sits on this device:
+per-bounce nearest-hit throughput of
+
+  * the Pallas brute-force sweep (the fast path's kernel),
+  * the same kernel with the in-kernel per-tile AABB cull, and
+  * the sliced wavefront BVH traversal (``models/bvh.py``),
+
+on the cover-scene geometry scaled to N spheres via its grid half-extent.
+Rays are camera-origin with random directions (the coherent/incoherent mix
+a real bounce sweep sees is in between; see PERF.md cull notes).
+
+Usage: python tools/crossover_bench.py [--rays 1048576]
+       [--extents 11,32,64,91]
+Prints one JSON line per (N, variant).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays", type=int, default=1 << 20)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--extents", default="11,32,64",
+                    help="grid half-extents; N ~ (2k)^2 spheres")
+    args = ap.parse_args()
+
+    from pathtrace_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pathtrace_tpu.models import bvh as pbvh
+    from pathtrace_tpu.models.presets import _random_impl
+    from pathtrace_tpu.models.types import SceneFeatures
+    from pathtrace_tpu.ops.intersect_pallas import (
+        sphere_nearest_pallas,
+        sphere_nearest_pallas_cols,
+    )
+
+    R = args.rays
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rd = jnp.asarray(d)
+    tm = jnp.zeros(R, jnp.float32)
+
+    def bench(fn, label, n_spheres):
+        out = fn(jnp.float32(0.0))
+        np.asarray(out[0])
+        best = float("inf")
+        for i in range(1, args.repeats + 1):
+            t0 = time.perf_counter()
+            out = fn(jnp.float32(i * 1e-6))
+            np.asarray(out[0])
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({
+            "bench": f"crossover/{label}", "spheres": n_spheres, "rays": R,
+            "ms": round(best * 1e3, 1),
+            "mrays_per_s": round(R / best / 1e6, 2),
+        }), flush=True)
+
+    for ext in [int(x) for x in args.extents.split(",")]:
+        scene, cam = _random_impl(2.0, only_spheres=True, seed=0,
+                                  half_extent=ext)
+        n = int(np.asarray(scene.spheres.mask).sum())
+        feats = SceneFeatures.from_scene(scene)
+        flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
+        scene = jax.device_put(scene)
+        flat = jax.device_put(flat)
+        print(json.dumps({"bench": "crossover/build", "spheres": n,
+                          "nodes": stats.node_count,
+                          "max_depth": stats.max_depth}), flush=True)
+
+        ro0 = np.broadcast_to(np.asarray(cam.origin, np.float32), (R, 3))
+        ro = jnp.asarray(ro0.copy())
+        rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+        rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+
+        bench(jax.jit(lambda e, s=scene: sphere_nearest_pallas(
+            s.spheres, ro + e, rd, tm, has_motion=False)),
+            "pallas_brute", n)
+        bench(jax.jit(lambda e, s=scene: sphere_nearest_pallas_cols(
+            s.spheres, rox + e, roy, roz, rdx, rdy, rdz, tm,
+            has_motion=False, cull=True)),
+            "pallas_tile_cull", n)
+        bench(jax.jit(lambda e, s=scene, f=flat, ft=feats, of=offsets:
+              pbvh.bvh_scene_nearest(f, s, ro + e, rd, tm, None,
+                                     features=ft, offsets=of)),
+              "bvh_sliced", n)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -55,9 +55,14 @@ def main() -> int:
     rd = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     tm = jnp.zeros(R)
 
+    from pathtrace_tpu.models.types import SceneFeatures
+
+    feats = SceneFeatures.from_scene(jax.device_get(scene))
     mn, mx = pbvh.sphere_aabbs(scene.spheres)
     flat, stats = pbvh.build_flat_bvh(mn, mx, mask=scene.spheres.mask, seed=0)
     flat = jax.device_put(flat)
+    sflat, _, offsets = pbvh.build_scene_bvh(jax.device_get(scene), seed=0)
+    sflat = jax.device_put(sflat)
 
     variants = {
         "xla_brute_force": jax.jit(
@@ -70,7 +75,15 @@ def main() -> int:
                 scene.spheres, ro + e, rd, tm, has_motion=False
             )
         ),
+        # the production -B traversal (packed node rows + straggler slicing)
         "bvh_wavefront": jax.jit(
+            lambda e: pbvh.bvh_scene_nearest(
+                sflat, scene, ro + e, rd, tm, None, features=feats,
+                offsets=offsets,
+            )
+        ),
+        # the unpacked reference traversal, kept for comparison
+        "bvh_wavefront_unpacked": jax.jit(
             lambda e: pbvh.bvh_sphere_nearest(
                 flat, scene.spheres, ro + e, rd, tm, has_motion=False
             )
