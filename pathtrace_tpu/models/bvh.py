@@ -658,20 +658,17 @@ def bvh_scene_nearest(
         best_t = jnp.where(best_t < t_max, best_t, jnp.float32(_INF))
         return best_t, best_i
 
-    from pathtrace_tpu.render.compact_util import _pack_rows, _unpack_rows
+    from pathtrace_tpu.render.compact_util import (
+        _pack_rows,
+        _unpack_rows,
+        partition_order,
+    )
 
     state = jax.lax.fori_loop(0, BULK_IT, lambda i, s: body_full(s), init)
     cursor, best_t, best_i, it = state
 
-    # stable partition: unfinished lanes to the front (same construction as
-    # compact_util.compact — one cumsum serves both sides)
-    unfinished = cursor < n_nodes
-    ui = unfinished.astype(jnp.int32)
-    prefix = jnp.cumsum(ui)
-    m = prefix[-1]
-    iota = jnp.arange(R, dtype=jnp.int32)
-    pos = jnp.where(unfinished, prefix - 1, m + iota - prefix)
-    order = jnp.zeros(R, jnp.int32).at[pos].set(iota)      # slot k -> ray id
+    # stable partition: unfinished lanes to the front
+    order, pos, _ = partition_order(cursor < n_nodes)      # order: slot->ray
 
     # permute: [R] planes ride ONE packed row gather; [R,3] rows directly.
     # DTYPE TRAP: the pack must be i32, not f32 — small ints bitcast to f32

@@ -784,12 +784,9 @@ def _fast_bounce_fused_prims(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_depth", "features", "group", "cull_first")
-)
-def _bounce_group_fused_jit(tables, sky, grad_sky, state, seed,
-                            depth0, max_depth, features, prims,
-                            group: int = 1, cull_first: bool = False):
+def _bounce_group_fused(tables, sky, grad_sky, state, seed,
+                        depth0, max_depth, features, prims,
+                        group: int = 1, cull_first: bool = False):
     """``prims``: (spheres, rects, boxes, media) with absent kinds None —
     the bounce needs no other scene leaves (shading data is in the
     prebuilt tables), and keeping unused pytrees out of the signature
@@ -811,6 +808,20 @@ def _bounce_group_fused_jit(tables, sky, grad_sky, state, seed,
             max_depth, features, prims, cull=(cull_first and g == 0),
         )
     return state, segs
+
+
+_STATICS = ("max_depth", "features", "group", "cull_first")
+# Two compilations of the same bounce group: the depth-0 dispatch must NOT
+# donate (its state planes wrap the CALLER's ro/rd/time arrays, which the
+# caller may reuse — e.g. rendering the same rays twice); every later
+# dispatch's state is a jit output nothing else holds, so donating lets
+# XLA alias the ~13 wavefront planes in place instead of double-buffering.
+_bounce_group_fused_first = functools.partial(
+    jax.jit, static_argnames=_STATICS
+)(_bounce_group_fused)
+_bounce_group_fused_jit = functools.partial(
+    jax.jit, static_argnames=_STATICS, donate_argnums=(3,)
+)(_bounce_group_fused)
 
 
 def _scene_prims(scene: Scene, features: SceneFeatures):
@@ -851,7 +862,7 @@ def trace_fast_diff(
     scene pytree. No compaction (static shapes under scan). Returns
     (radiance [R, 3], ray_count []).
     """
-    assert fastpath_supported(features)
+    assert fastpath_supported(features, scene)
     R = ro.shape[0]
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
@@ -909,7 +920,7 @@ def trace_fast_device(
     id) are born dead: they trace no segments and contribute zero.
     Returns (radiance [R, 3], ray_count []).
     """
-    assert fastpath_supported(features)
+    assert fastpath_supported(features, scene)
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
     assert fused_shade_supported(features), (
@@ -1051,7 +1062,7 @@ def trace_fast(
     per jit call); ``lane_offset`` keeps RNG stream ids globally unique
     when a frame is traced in chunks. Returns (radiance [R, 3], ray_count).
     """
-    assert fastpath_supported(features)
+    assert fastpath_supported(features, scene)
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
     if group is None:
@@ -1097,7 +1108,10 @@ def trace_fast(
         )
 
         def step(state, depth, g):
-            return _bounce_group_fused_jit(
+            # depth-0 state wraps caller arrays: no donation there
+            fn = (_bounce_group_fused_first if depth == 0
+                  else _bounce_group_fused_jit)
+            return fn(
                 tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
                 max_depth, features, prims, group=g,
                 cull_first=cull_scene and depth == 0,

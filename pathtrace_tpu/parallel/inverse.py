@@ -133,8 +133,13 @@ class InverseRenderer:
         return img
 
     def loss(self, params, target, key):
+        return self._loss_aux(params, target, key)[0]
+
+    def _loss_aux(self, params, target, key):
+        """(mse, rendered image) — the aux lets train_step reuse the
+        forward image for the silhouette term instead of re-rendering."""
         img = self.render(params, key)
-        return jnp.mean((img - target) ** 2)
+        return jnp.mean((img - target) ** 2), img
 
     def init(self, params) -> TrainState:
         return TrainState(
@@ -148,19 +153,26 @@ class InverseRenderer:
         """One optimization step: differentiable sharded render -> MSE ->
         grads (all-reduced across the mesh by the shard_map transpose) ->
         adam update."""
-        loss_val, grads = jax.value_and_grad(self.loss)(state.params, target, key)
+        (loss_val, img), grads = jax.value_and_grad(
+            self._loss_aux, has_aux=True
+        )(state.params, target, key)
         if self.silhouette:
-            grads = self._add_silhouette_grads(grads, state.params, target, key)
+            grads = self._add_silhouette_grads(
+                grads, state.params, target, key, img
+            )
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss_val
 
-    def _add_silhouette_grads(self, grads, params, target, key):
-        """Add the visibility boundary term to the interior gradients."""
+    def _add_silhouette_grads(self, grads, params, target, key, img):
+        """Add the visibility boundary term to the interior gradients.
+
+        ``img`` is the forward render already computed by value_and_grad's
+        primal pass (via the aux) — no second render.
+        """
         from pathtrace_tpu.ops.silhouette import silhouette_grads
 
         scene = self.rebuild(params)
-        img = jax.lax.stop_gradient(self.render(params, key))
         grad_img = 2.0 * (img - target) / img.size
         d_center, d_radius = silhouette_grads(
             scene, self.camera, self.width, self.height, grad_img,

@@ -25,6 +25,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pathtrace_tpu.camera import Camera
@@ -38,8 +39,6 @@ RAY_AXIS = "rays"
 def make_render_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D mesh over all (or the given) devices, ray axis sharded."""
     devices = list(devices) if devices is not None else jax.devices()
-    import numpy as np
-
     return Mesh(np.asarray(devices), (RAY_AXIS,))
 
 
@@ -74,8 +73,11 @@ def trace_sharded(
     globally-unique lane ids (``axis_index * shard_R`` offsets), so the
     sharded image is bit-identical to the single-device uncompacted
     trace for the same ``seed`` — sharding is invisible, and no
-    per-device key folding is needed. ``alive_limit`` births lanes at or
-    beyond that global id dead (exact ray counts under padding).
+    per-device key folding is needed. ``key`` is therefore UNUSED in
+    fast mode (vary ``seed``); :func:`render_frame_sharded` folds the
+    frame key into the seed for callers that only vary the key.
+    ``alive_limit`` births lanes at or beyond that global id dead
+    (exact ray counts under padding).
     """
     features = features or SceneFeatures.all_on()
     n_dev = mesh.devices.size
@@ -160,6 +162,17 @@ def render_frame_sharded(
     """
     n_dev = mesh.devices.size
     kray, ktrace = jax.random.split(key)
+    if mode == "fast":
+        # the fast path's bounce RNG is seed-keyed (counter hash on global
+        # lane ids; `key` is unused there by design — see trace_sharded).
+        # Fold the frame key into the seed host-side so a caller varying
+        # only `key` across frames still decorrelates bounce draws.
+        try:
+            kd = np.asarray(jax.random.key_data(ktrace)).ravel()
+            # reinterpret as int32: the fold must stay in jnp.int32 range
+            seed = int((np.uint32(seed) ^ kd[-1]).astype(np.int32))
+        except jax.errors.TracerArrayConversionError:
+            pass  # traced key (caller jitted the frame): vary `seed` instead
     ro, rd, time = generate_primary_rays(camera, width, height, samples, kray)
     R = height * width * samples
     ro = ro.reshape(R, 3)

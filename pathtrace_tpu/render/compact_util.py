@@ -22,6 +22,26 @@ def rung(n_alive: int, minimum: int) -> int:
     return 1 << (size - 1).bit_length()
 
 
+def partition_order(mask):
+    """Stable-partition permutation: True lanes first, both sides in
+    original order, from ONE cumsum (k-th true lane -> slot k; false lanes
+    follow as ``m + (falses before i)`` = ``m + i - prefix[i]``).
+
+    Returns ``(order, pos, m)``: ``order[k]`` = lane at slot k (gather
+    indices), ``pos[i]`` = slot of lane i (order's inverse, scatter/
+    un-permute indices), ``m`` = True count. Shared by the lane and row
+    compaction below and the BVH straggler slicing
+    (:func:`pathtrace_tpu.models.bvh.bvh_scene_nearest`).
+    """
+    n = mask.shape[0]
+    prefix = jnp.cumsum(mask.astype(jnp.int32))
+    m = prefix[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.where(mask, prefix - 1, m + iota - prefix)
+    order = jnp.zeros(n, jnp.int32).at[pos].set(iota)
+    return order, pos, m
+
+
 def _flush(out_radiance, state, indices, radiance_fields, identity):
     """Accumulate the state's radiance into the full-size output.
 
@@ -76,14 +96,7 @@ def compact(out_radiance, state, indices, next_size: int,
     out_radiance = _flush(out_radiance, state, indices, radiance_fields,
                           identity)
     R = state.alive.shape[0]
-    alive_i = state.alive.astype(jnp.int32)
-    prefix = jnp.cumsum(alive_i)
-    m = prefix[-1]
-    iota = jnp.arange(R, dtype=jnp.int32)
-    # k-th alive lane -> slot k; dead lanes follow in order:
-    # cumsum(1-alive)-1 == iota - prefix, so one cumsum serves both.
-    pos = jnp.where(state.alive, prefix - 1, m + iota - prefix)
-    order = jnp.zeros(R, jnp.int32).at[pos].set(iota)
+    order, _, _ = partition_order(state.alive)
     perm = order[:next_size]
 
     # radiance restarts at zero after a flush — strip those leaves BEFORE
@@ -206,12 +219,7 @@ def compact_rows(out_radiance, state, indices, next_rows: int,
     R = state.alive.shape[0]
     rows = R // ROW
     row_alive = jnp.any(state.alive.reshape(rows, ROW), axis=1)
-    alive_i = row_alive.astype(jnp.int32)
-    prefix = jnp.cumsum(alive_i)
-    m = prefix[-1]
-    iota = jnp.arange(rows, dtype=jnp.int32)
-    pos = jnp.where(row_alive, prefix - 1, m + iota - prefix)
-    order = jnp.zeros(rows, jnp.int32).at[pos].set(iota)
+    order, _, _ = partition_order(row_alive)
     row_perm = order[:next_rows]
     next_size = next_rows * ROW
 

@@ -4,10 +4,11 @@ TPU re-design of the reference's OpenGL preview window (reference
 ``src/glium_window.rs:18-231``): the reference runs a render worker thread
 that exchanges the frame buffer with a UI thread over channels and uploads
 it to a GL texture. Here the "display" is the browser and the "channel" is
-an HTTP endpoint — the render loop pushes each accumulated frame into the
-server (device->host copy + PNG encode overlap the *next* frame's device
-work, the same 2-stage pipeline as ``glium_window.rs:81-135``), and the page
-refreshes itself.
+an HTTP endpoint — the render loop publishes each accumulated frame's
+array REFERENCE (cheap); the device->host copy + PNG encode run lazily in
+the HTTP handler thread when the page actually fetches ``/frame.png``
+(the same worker/display split as ``glium_window.rs:81-135``), and the
+page refreshes itself.
 
 Endpoints:
   /            viewer page (auto-refreshing <img> + stats line)
@@ -57,6 +58,8 @@ class PreviewServer:
     def __init__(self, host: str = "127.0.0.1", port: int = 0):
         self._lock = threading.Lock()
         self._png: bytes = film.encode_png(np.zeros((2, 2, 3), np.uint8))
+        self._png_frame = -1
+        self._latest = None  # device (or host) array, published by update()
         self._stats = {"frame": 0, "mrays_per_s": 0.0, "width": 0, "height": 0}
         outer = self
 
@@ -66,8 +69,7 @@ class PreviewServer:
                 if path == "/" or path == "/index.html":
                     body, ctype = _PAGE, "text/html"
                 elif path == "/frame.png":
-                    with outer._lock:
-                        body = outer._png
+                    body = outer._frame_png()
                     ctype = "image/png"
                 elif path == "/stats.json":
                     with outer._lock:
@@ -99,22 +101,39 @@ class PreviewServer:
         return f"http://{host}:{port}/"
 
     def update(self, img_linear, frame: int, mrays_per_s: float = 0.0) -> None:
-        """Push a new accumulated frame (linear [H, W, 3], device or host).
+        """Publish a new accumulated frame (linear [H, W, 3], device or host).
 
-        Encodes at a fast zlib level — the encode overlaps the next frame's
-        device computation (JAX async dispatch), mirroring the reference's
-        render/display pipeline overlap.
+        Cheap on the render loop's critical path: only the array REFERENCE
+        is published here; the device->host readback and PNG encode happen
+        lazily in the HTTP handler thread when ``/frame.png`` is actually
+        fetched (and are cached per frame). Un-viewed frames cost the
+        render loop nothing — the worker/display split of the reference's
+        two-thread pipeline (``glium_window.rs:81-135``).
         """
-        arr = np.asarray(img_linear)
-        png = film.encode_png(film.to_srgb_u8(arr[::-1]), compress_level=1)
         with self._lock:
-            self._png = png
+            self._latest = img_linear
             self._stats = {
                 "frame": int(frame),
                 "mrays_per_s": float(mrays_per_s),
-                "width": int(arr.shape[1]),
-                "height": int(arr.shape[0]),
+                "width": int(img_linear.shape[1]),
+                "height": int(img_linear.shape[0]),
             }
+
+    def _frame_png(self) -> bytes:
+        """Latest frame as PNG: lazy readback + encode, cached per frame."""
+        with self._lock:
+            latest = self._latest
+            frame = self._stats["frame"]
+            if latest is None or self._png_frame == frame:
+                return self._png
+        # readback + encode OUTSIDE the lock (slow; handler thread only)
+        arr = np.asarray(latest)
+        png = film.encode_png(film.to_srgb_u8(arr[::-1]), compress_level=1)
+        with self._lock:
+            if frame >= self._png_frame:
+                self._png = png
+                self._png_frame = frame
+        return png
 
     def close(self) -> None:
         self._httpd.shutdown()

@@ -81,7 +81,7 @@ def render_progressive(
 
     scene = jax.device_put(scene)
 
-    if use_pallas and sphere_nearest_fn is None:
+    if use_pallas:
         from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
 
         sphere_nearest_fn = sphere_nearest_pallas

@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--extents", default="11,32,64",
                     help="grid half-extents; N ~ (2k)^2 spheres")
+    ap.add_argument("--scatter", action="store_true",
+                    help="random origins inside the scene bounds (bounce-"
+                         "like incoherence) instead of camera origins")
     args = ap.parse_args()
 
     from pathtrace_tpu.cli import _enable_compilation_cache
@@ -88,7 +91,18 @@ def main() -> int:
                           "nodes": stats.node_count,
                           "max_depth": stats.max_depth}), flush=True)
 
-        ro0 = np.broadcast_to(np.asarray(cam.origin, np.float32), (R, 3))
+        if args.scatter:
+            # bounds over the small-sphere field only: live rows, excluding
+            # the r=1000 ground sphere (and the mask=False padding rows,
+            # whose zero centers would skew the box)
+            centers = np.asarray(scene.spheres.center)
+            small = (np.asarray(scene.spheres.mask)
+                     & (np.abs(np.asarray(scene.spheres.radius)) < 10.0))
+            lo = centers[small].min(axis=0)
+            hi = centers[small].max(axis=0)
+            ro0 = (rng.random((R, 3)).astype(np.float32) * (hi - lo) + lo)
+        else:
+            ro0 = np.broadcast_to(np.asarray(cam.origin, np.float32), (R, 3))
         ro = jnp.asarray(ro0.copy())
         rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
         rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]

@@ -7,7 +7,7 @@ vary inputs, time to np.asarray):
   raygen          generate_primary_rays + reshape
   bounce_3p7M     one fused bounce group (g=1) at full wavefront
   alive_count     jnp.sum(alive) device->host readback
-  compact_sort    the shipping argsort-based compaction 3.7M -> 2M
+  compact_sort    the shipping cumsum-partition lane compaction 3.7M -> 2M
   final_mean      radiance reshape + sample mean
   whole_frame     render_frame_fast end-to-end (reference point)
 """
@@ -85,7 +85,7 @@ def main() -> int:
     @jax.jit
     def bounce(st, e):
         st = st._replace(rox=st.rox + e)
-        st, segs = fp._bounce_group_fused_jit(
+        st, segs = fp._bounce_group_fused_first(
             tables, sky, gsky, st, seed, jnp.int32(0), 10, features,
             fp._scene_prims(scene, features), group=1,
         )
@@ -110,9 +110,12 @@ def main() -> int:
 
     def compact_run(i):
         st = half_alive._replace(rox=half_alive.rox + i * 1e-6)
+        # 3-plane radiance form takes a TUPLE of [R] planes (compact_util
+        # _flush zips them); a [R,3] array here would zip its first 3 rows
+        # and skip the real scatter-flush cost
         o, s2, idx2 = cu_compact(
-            jnp.zeros((R, 3)), st, indices, next_size,
-            radiance_fields=("rad_r", "rad_g", "rad_b"),
+            (jnp.zeros(R), jnp.zeros(R), jnp.zeros(R)), st, indices,
+            next_size, radiance_fields=("rad_r", "rad_g", "rad_b"),
         )
         return np.asarray(s2.rox[:8])
 

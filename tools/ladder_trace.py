@@ -67,7 +67,7 @@ def main() -> int:
         while depth <= DEPTH:
             g = min(group, DEPTH + 1 - depth)
             t0 = time.perf_counter()
-            state, segs = fp._bounce_group_fused_jit(
+            state, segs = fp._bounce_group_fused_first(
                 tables, sky, gsky, state, seed, jnp.int32(depth), DEPTH,
                 features, fp._scene_prims(scene, features), group=g,
             )
