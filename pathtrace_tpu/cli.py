@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Initialize jax.distributed for multi-host execution "
              "(reads JAX coordinator env vars)",
     )
+    p.add_argument(
+        "--platform", default=None, metavar="NAME",
+        help="Force a JAX backend (e.g. cpu). Overrides the environment's "
+             "default device selection in-process, which is necessary where "
+             "site hooks ignore JAX_PLATFORMS",
+    )
     return p
 
 
@@ -109,6 +115,12 @@ def _enable_compilation_cache() -> None:
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        # must land before any jit/device touch; config (unlike the
+        # JAX_PLATFORMS env var) cannot be overridden by site hooks
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     _enable_compilation_cache()
 
     if args.distributed:

@@ -282,6 +282,71 @@ def final(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
     return b.finish(), _standard_camera(aspect)
 
 
+def final_full(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
+    """The COMPLETED 'Next Week' final scene the reference abandoned.
+
+    Reference ``src/presets.rs:40-71`` creates the white/ground materials
+    of this scene and returns an empty world; this builds the whole thing
+    (every subsystem in one scene): a 20x20 field of random-height ground
+    boxes, the big ceiling light, a motion-blurred sphere, glass and fuzzy
+    metal spheres, a subsurface glass ball (dielectric boundary + dense
+    interior medium), whole-scene fog (a 5000-radius boundary medium), the
+    image-textured earth, a Perlin marble ball, and a rotated cluster of
+    1000 small white spheres.
+    """
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder(perlin_rng=np.random.default_rng(seed))
+
+    ground = b.lambertian_color((0.48, 0.83, 0.53))
+    for i in range(20):
+        for j in range(20):
+            w = 100.0
+            x0, z0 = -1000.0 + i * w, -1000.0 + j * w
+            y1 = 1.0 + 100.0 * rng.random()
+            b.box((x0, 0.0, z0), (x0 + w, y1, z0 + w), ground)
+
+    b.rect_xz(123.0, 423.0, 147.0, 412.0, 554.0, False,
+              b.diffuse_light_color((7.0, 7.0, 7.0)))
+
+    c0 = np.array([400.0, 400.0, 200.0], np.float32)
+    b.moving_sphere(c0, c0 + np.array([30.0, 0.0, 0.0], np.float32),
+                    0.0, 1.0, 50.0, b.lambertian_color((0.7, 0.3, 0.1)))
+    b.sphere((260.0, 150.0, 45.0), 50.0, b.dielectric(1.5))
+    b.sphere((0.0, 150.0, 145.0), 50.0, b.metal((0.8, 0.8, 0.9), 1.0))
+
+    # subsurface ball: glass boundary + dense blue interior medium
+    b.sphere((360.0, 150.0, 145.0), 70.0, b.dielectric(1.5))
+    b.medium_sphere((360.0, 150.0, 145.0), 70.0, 0.2,
+                    b.constant_texture((0.2, 0.4, 0.9)))
+    # whole-scene haze
+    b.medium_sphere((0.0, 0.0, 0.0), 5000.0, 1e-4,
+                    b.constant_texture((1.0, 1.0, 1.0)))
+
+    b.sphere((400.0, 200.0, 400.0), 100.0,
+             b.lambertian(b.image_texture(_procedural_earth_image())))
+    b.sphere((220.0, 280.0, 300.0), 80.0,
+             b.lambertian(b.noise_texture(0.1)))
+
+    # 1000-sphere cluster: the book rotates/translates an instance; spheres
+    # are rotation-invariant, so the transform is baked into the centers
+    white = b.lambertian_color((0.73, 0.73, 0.73))
+    pts = rng.random((1000, 3)).astype(np.float32) * 165.0
+    th = np.deg2rad(15.0)
+    rot = np.array([[np.cos(th), 0.0, np.sin(th)],
+                    [0.0, 1.0, 0.0],
+                    [-np.sin(th), 0.0, np.cos(th)]], np.float32)
+    pts = pts @ rot.T + np.array([-100.0, 270.0, 395.0], np.float32)
+    for p in pts:
+        b.sphere(p, 10.0, white)
+
+    b.sky = (0.0, 0.0, 0.0)
+    cam = make_camera(
+        (478.0, 278.0, -600.0), (278.0, 278.0, 0.0), (0.0, 1.0, 0.0), 40.0,
+        aspect, aperture=0.0, focus_dist=10.0, time0=0.0, time1=1.0,
+    )
+    return b.finish(pad_multiple=128, spatial_sort=True), cam
+
+
 _REGISTRY: Dict[str, PresetFn] = {
     "random": random,
     "random_spheres": random_spheres,
@@ -294,6 +359,7 @@ _REGISTRY: Dict[str, PresetFn] = {
     "simple_light": simple_light,
     "earth": earth,
     "final": final,
+    "final_full": final_full,
 }
 
 

@@ -86,6 +86,31 @@ class TestCornell:
         assert f.has_media and f.has_isotropic
 
 
+class TestFinalFull:
+    def test_every_subsystem_present(self):
+        # the completed 'Next Week' final scene (reference presets.rs:40-71
+        # builds its materials then returns an empty world)
+        scene, _ = presets.final_full(1.0)
+        f = SceneFeatures.from_scene(scene)
+        assert int(scene.boxes.mask.sum()) == 20 * 20      # ground field
+        assert int(scene.rects.mask.sum()) == 1            # ceiling light
+        assert int(scene.media.mask.sum()) == 2            # subsurface + haze
+        # 1000-cluster + moving + glass + metal + boundary + earth + perlin
+        assert int(scene.spheres.mask.sum()) == 1006
+        for flag in ("has_spheres", "has_motion", "has_rects", "has_boxes",
+                     "has_media", "has_noise", "has_image", "has_lambertian",
+                     "has_metal", "has_dielectric", "has_light",
+                     "has_isotropic"):
+            assert getattr(f, flag), flag
+        np.testing.assert_array_equal(scene.sky, 0.0)
+
+    def test_deterministic(self):
+        s1, _ = presets.final_full(1.0, seed=0)
+        s2, _ = presets.final_full(1.0, seed=0)
+        np.testing.assert_array_equal(s1.spheres.center, s2.spheres.center)
+        np.testing.assert_array_equal(s1.boxes.p1, s2.boxes.p1)
+
+
 class TestHollowGlass:
     def test_small_has_negative_radius(self):
         scene, _ = presets.small(1.0)
