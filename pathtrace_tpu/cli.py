@@ -91,6 +91,18 @@ def build_parser() -> argparse.ArgumentParser:
              "(reads JAX coordinator env vars)",
     )
     p.add_argument(
+        "--group", type=int, default=None, metavar="N",
+        help="Bounces per dispatch on the fast path (default: auto). "
+             "Fewer groups = fewer distinct jit programs to compile",
+    )
+    p.add_argument(
+        "--no-compaction", action="store_true",
+        help="Disable the stream-compaction ladder on the fast path. "
+             "Slower at steady state, but the render compiles O(1) program "
+             "shapes instead of one per ladder rung — the right trade on a "
+             "cold compile cache or a slow remote-compile service",
+    )
+    p.add_argument(
         "--platform", default=None, metavar="NAME",
         help="Force a JAX backend (e.g. cpu). Overrides the environment's "
              "default device selection in-process, which is necessary where "
@@ -174,6 +186,7 @@ def _run(args) -> int:
         result = render_progressive(
             scene, camera, params, max_frames=1, features=features,
             use_pallas=args.pallas, use_bvh=args.bvh, mode=args.mode,
+            group=args.group, compaction=not args.no_compaction,
         )
         elapsed = time.monotonic() - start
         # same offline report shape as reference src/offline.rs:36-41
@@ -194,6 +207,8 @@ def _run(args) -> int:
         use_pallas=args.pallas,
         use_bvh=args.bvh,
         mode=args.mode,
+        group=args.group,
+        compaction=not args.no_compaction,
         checkpoint_path=args.checkpoint,
         snapshot_path=args.out,
         snapshot_every=args.snapshot_every,

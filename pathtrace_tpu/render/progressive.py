@@ -46,6 +46,8 @@ def render_progressive(
     use_pallas: bool = False,
     use_bvh: bool = False,
     mode: str = "auto",
+    group: Optional[int] = None,
+    compaction: bool = True,
     on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
@@ -102,6 +104,7 @@ def render_progressive(
             return render_frame_fast(
                 scene_arg, camera, params.width, params.height, params.samples,
                 params.max_depth, key, seed * 1000003 + frame_idx, features,
+                compaction=compaction, group=group,
             )
     elif mode == "sharded":
         # data-parallel frame over ALL visible devices (parallel/mesh.py):

@@ -36,6 +36,18 @@ class TestCliParser:
         rc = main(["-P", "nope", "-O", "--out", str(tmp_path / "x.png")])
         assert rc == 2
 
+    def test_compile_budget_flags_bit_exact(self, tmp_path):
+        """--no-compaction --group 1 bounds the compile count to O(1)
+        program shapes; the image must be bit-identical to the default
+        ladder (the compaction on/off invariant, at the CLI level)."""
+        from pathtrace_tpu.render import film as _film
+
+        pa, pb = str(tmp_path / "a.png"), str(tmp_path / "b.png")
+        base = ["-P", "small", "-W", "64", "-H", "32", "-S", "2", "-O"]
+        assert main(base + ["--out", pa]) == 0
+        assert main(base + ["--no-compaction", "--group", "1", "--out", pb]) == 0
+        np.testing.assert_array_equal(_film.read_png(pa), _film.read_png(pb))
+
 
 class TestFilm:
     def test_png_roundtrip(self, tmp_path):
