@@ -1,4 +1,7 @@
-"""The 10 preset scenes (reference ``src/presets.rs:24-37``).
+"""The 10 preset scenes (reference ``src/presets.rs:24-37``), plus two the
+reference left unfinished: ``final_full`` (the completed 'Next Week' final
+scene, stubbed at ``presets.rs:40-71``) and ``aras`` (the ToyPathTracer
+scene, shipped commented-out at ``presets.rs:595-851``).
 
 Each builder returns ``(Scene, Camera)`` — the flat-array analog of the
 reference's ``(Vec<Hitable>, Camera, Option<sky>)``. Deterministic: the
@@ -347,6 +350,48 @@ def final_full(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
     return b.finish(pad_multiple=128, spatial_sort=True), cam
 
 
+def aras(aspect: float, seed: int = 0) -> Tuple[Scene, Camera]:
+    """Aras Pranckevicius's ToyPathTracer scene (reference ``src/presets.rs:
+    595-851``, shipped commented-out): 46 spheres — a big gray ground ball,
+    a mixed foreground group, a glass ball, two bright emissives, and four
+    9-sphere rows sweeping grayscale/colored lambertian and mirror metals.
+    """
+    b = SceneBuilder(perlin_rng=np.random.default_rng(seed))
+
+    b.sphere((0.0, -100.5, -1.0), 100.0, b.lambertian_color((0.8, 0.8, 0.8)))
+    b.sphere((2.0, 0.0, -1.0), 0.5, b.lambertian_color((0.8, 0.4, 0.4)))
+    b.sphere((0.0, 0.0, -1.0), 0.5, b.lambertian_color((0.4, 0.8, 0.4)))
+    b.sphere((-2.0, 0.0, -1.0), 0.5, b.metal((0.4, 0.4, 0.8), 0.0))
+    b.sphere((2.0, 0.0, 1.0), 0.5, b.metal((0.4, 0.8, 0.4), 0.0))
+    b.sphere((0.0, 0.0, 1.0), 0.5, b.metal((0.4, 0.8, 0.4), 0.2))
+    b.sphere((-2.0, 0.0, 1.0), 0.5, b.metal((0.4, 0.8, 0.4), 0.6))
+    b.sphere((0.5, 1.0, 0.5), 0.5, b.dielectric(1.5))
+    b.sphere((-1.5, 1.5, 0.0), 0.3,
+             b.diffuse_light_color((30.0, 25.0, 15.0)))
+
+    # four 9-sphere rows, x = 4..-4 at z = -3/-4/-5/-6
+    grays = [(0.1 * g,) * 3 for g in range(1, 10)]
+    hues = [(0.8, 0.1, 0.1), (0.8, 0.5, 0.1), (0.8, 0.8, 0.1),
+            (0.4, 0.8, 0.1), (0.1, 0.8, 0.1), (0.1, 0.8, 0.5),
+            (0.1, 0.8, 0.8), (0.1, 0.1, 0.8), (0.5, 0.1, 0.8)]
+    for i, x in enumerate(range(4, -5, -1)):
+        b.sphere((x, 0.0, -3.0), 0.5, b.lambertian_color(grays[i]))
+        b.sphere((x, 0.0, -4.0), 0.5, b.metal(grays[i], 0.0))
+        b.sphere((x, 0.0, -5.0), 0.5, b.metal(hues[i], 0.0))
+        # the z=-6 row is lambertian except its final (x=-4) metal sphere
+        mat = (b.metal(hues[i], 0.0) if x == -4
+               else b.lambertian_color(hues[i]))
+        b.sphere((x, 0.0, -6.0), 0.5, mat)
+
+    b.sphere((1.5, 1.5, -2.0), 0.3, b.diffuse_light_color((3.0, 10.0, 20.0)))
+
+    cam = make_camera(
+        (0.0, 2.0, 3.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 60.0,
+        aspect, aperture=0.02, focus_dist=3.0, time0=0.0, time1=1.0,
+    )
+    return b.finish(), cam
+
+
 _REGISTRY: Dict[str, PresetFn] = {
     "random": random,
     "random_spheres": random_spheres,
@@ -360,6 +405,7 @@ _REGISTRY: Dict[str, PresetFn] = {
     "earth": earth,
     "final": final,
     "final_full": final_full,
+    "aras": aras,
 }
 
 

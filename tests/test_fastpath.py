@@ -37,7 +37,7 @@ class TestParity:
     @pytest.mark.parametrize(
         "preset",
         ["small", "simple_light", "smallpt", "cornell", "cornell_smoke",
-         "earth"],
+         "earth", "aras"],
     )
     def test_statistical_match_with_integrator(self, preset):
         scene, cam = presets.from_name(preset, 4 / 3)

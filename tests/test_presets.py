@@ -111,6 +111,21 @@ class TestFinalFull:
         np.testing.assert_array_equal(s1.boxes.p1, s2.boxes.p1)
 
 
+class TestAras:
+    def test_population_and_materials(self):
+        # ToyPathTracer scene (reference presets.rs:595-851, shipped
+        # commented-out): 46 spheres, no other primitive kinds
+        scene, _ = presets.aras(1.0)
+        f = SceneFeatures.from_scene(scene)
+        assert int(scene.spheres.mask.sum()) == 46
+        assert int(scene.rects.mask.sum()) == 0
+        assert int(scene.boxes.mask.sum()) == 0
+        for flag in ("has_spheres", "has_lambertian", "has_metal",
+                     "has_dielectric", "has_light"):
+            assert getattr(f, flag), flag
+        assert not f.has_motion and not f.has_media
+
+
 class TestHollowGlass:
     def test_small_has_negative_radius(self):
         scene, _ = presets.small(1.0)
