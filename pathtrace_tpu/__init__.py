@@ -24,4 +24,10 @@ rendering and Mrays/s instrumentation — architected for TPUs:
 
 __version__ = "0.1.0"
 
+# the render/ subpackage owns the name `render` at package scope, so the
+# one-call facade exports as `render_image` (also `pathtrace_tpu.api.render`)
+from pathtrace_tpu.api import preset_names  # noqa: F401
+from pathtrace_tpu.api import render as render_image  # noqa: F401
+from pathtrace_tpu.camera import make_camera  # noqa: F401
 from pathtrace_tpu.config import Params  # noqa: F401
+from pathtrace_tpu.models.build import SceneBuilder  # noqa: F401
