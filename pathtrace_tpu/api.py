@@ -46,6 +46,7 @@ def render(
     use_bvh: bool = False,
     group: Optional[int] = None,
     compaction: bool = True,
+    stratify: bool = False,
     out: Optional[str] = None,
     **progressive_kwargs,
 ) -> np.ndarray:
@@ -78,6 +79,7 @@ def render(
         max_frames=frames,
         features=SceneFeatures.from_scene(scene),
         mode=mode, use_bvh=use_bvh, group=group, compaction=compaction,
+        stratify=stratify,
         log=lambda _s: None,
         **progressive_kwargs,
     )

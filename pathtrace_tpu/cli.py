@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
              "cold compile cache or a slow remote-compile service",
     )
     p.add_argument(
+        "--stratify", action="store_true",
+        help="Latin-hypercube in-pixel sample stratification (lower "
+             "variance per sample than the reference's uniform jitter; "
+             "unbiased for any spp)",
+    )
+    p.add_argument(
         "--platform", default=None, metavar="NAME",
         help="Force a JAX backend (e.g. cpu). Overrides the environment's "
              "default device selection in-process, which is necessary where "
@@ -187,6 +193,7 @@ def _run(args) -> int:
             scene, camera, params, max_frames=1, features=features,
             use_pallas=args.pallas, use_bvh=args.bvh, mode=args.mode,
             group=args.group, compaction=not args.no_compaction,
+            stratify=args.stratify,
         )
         elapsed = time.monotonic() - start
         # same offline report shape as reference src/offline.rs:36-41
@@ -209,6 +216,7 @@ def _run(args) -> int:
         mode=args.mode,
         group=args.group,
         compaction=not args.no_compaction,
+        stratify=args.stratify,
         checkpoint_path=args.checkpoint,
         snapshot_path=args.out,
         snapshot_every=args.snapshot_every,

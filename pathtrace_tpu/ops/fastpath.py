@@ -995,6 +995,7 @@ def render_frame_fast(
     min_size: int = 1 << 15,
     compaction: bool = True,
     group: Optional[int] = None,
+    stratify: bool = False,
 ):
     """Whole-frame render via the fast path (host-driven loop).
 
@@ -1008,7 +1009,8 @@ def render_frame_fast(
     bounds it. Lane ids stay globally unique so chunking never changes the
     image.
     """
-    ro, rd, t = _gen_rays_jit(camera, width, height, samples, frame_key)
+    ro, rd, t = _gen_rays_jit(camera, width, height, samples, frame_key,
+                              stratify)
     R = height * width * samples
     ro = ro.reshape(R, 3)
     rd = rd.reshape(R, 3)
@@ -1036,11 +1038,14 @@ def render_frame_fast(
     return img, ray_count
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "samples"))
-def _gen_rays_jit(camera, width, height, samples, key):
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "samples", "stratify")
+)
+def _gen_rays_jit(camera, width, height, samples, key, stratify=False):
     from pathtrace_tpu.render.frame import generate_primary_rays
 
-    return generate_primary_rays(camera, width, height, samples, key)
+    return generate_primary_rays(camera, width, height, samples, key,
+                                 stratify=stratify)
 
 
 def trace_fast(

@@ -48,6 +48,7 @@ def render_progressive(
     mode: str = "auto",
     group: Optional[int] = None,
     compaction: bool = True,
+    stratify: bool = False,
     on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
@@ -104,7 +105,7 @@ def render_progressive(
             return render_frame_fast(
                 scene_arg, camera, params.width, params.height, params.samples,
                 params.max_depth, key, seed * 1000003 + frame_idx, features,
-                compaction=compaction, group=group,
+                compaction=compaction, group=group, stratify=stratify,
             )
     elif mode == "sharded":
         # data-parallel frame over ALL visible devices (parallel/mesh.py):
@@ -150,7 +151,7 @@ def render_progressive(
                 scene_arg, camera, params.width, params.height, params.samples,
                 params.max_depth, key,
                 sphere_nearest_fn=sphere_nearest_fn, features=features,
-                intersect_fn=intersect_fn,
+                intersect_fn=intersect_fn, stratify=stratify,
             )
 
         def frame_fn(scene_arg, key, frame_idx):
