@@ -47,6 +47,7 @@ def render(
     group: Optional[int] = None,
     compaction: bool = True,
     stratify: bool = False,
+    nee: bool = False,
     out: Optional[str] = None,
     **progressive_kwargs,
 ) -> np.ndarray:
@@ -79,7 +80,7 @@ def render(
         max_frames=frames,
         features=SceneFeatures.from_scene(scene),
         mode=mode, use_bvh=use_bvh, group=group, compaction=compaction,
-        stratify=stratify,
+        stratify=stratify, nee=nee,
         log=lambda _s: None,
         **progressive_kwargs,
     )

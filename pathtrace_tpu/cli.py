@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
              "cold compile cache or a slow remote-compile service",
     )
     p.add_argument(
+        "--nee", action="store_true",
+        help="Next-event estimation: sample lights directly with shadow "
+             "rays (unbiased; dramatically less noise on light-driven "
+             "scenes like cornell). Runs on the general integrator",
+    )
+    p.add_argument(
         "--stratify", action="store_true",
         help="Latin-hypercube in-pixel sample stratification (lower "
              "variance per sample than the reference's uniform jitter; "
@@ -193,7 +199,7 @@ def _run(args) -> int:
             scene, camera, params, max_frames=1, features=features,
             use_pallas=args.pallas, use_bvh=args.bvh, mode=args.mode,
             group=args.group, compaction=not args.no_compaction,
-            stratify=args.stratify,
+            stratify=args.stratify, nee=args.nee,
         )
         elapsed = time.monotonic() - start
         # same offline report shape as reference src/offline.rs:36-41
@@ -217,6 +223,7 @@ def _run(args) -> int:
         group=args.group,
         compaction=not args.no_compaction,
         stratify=args.stratify,
+        nee=args.nee,
         checkpoint_path=args.checkpoint,
         snapshot_path=args.out,
         snapshot_every=args.snapshot_every,

@@ -1,0 +1,189 @@
+"""Light table + direct-light (next-event estimation) sampling.
+
+Beyond-reference estimator: the reference integrates emissive surfaces only
+through BSDF path hits (reference ``src/scene.rs:58-66`` — its cornell at
+low spp is famously noisy). NEE samples the lights explicitly with shadow
+rays; the integrator pairs it with diffuse-lobe emission suppression so the
+combined estimator stays unbiased (``render/integrator.py``).
+
+Wavefront design: the light list is a tiny static table (scenes have 1-2
+lights); every lane samples ONE light uniformly, so the whole pass is a few
+``[R]``-shaped selects + one extra scene intersection for the shadow rays —
+no per-light loop, no divergence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from pathtrace_tpu.models.types import MAT_DIFFUSE_LIGHT, Scene
+from pathtrace_tpu.ops import math as pmath
+
+
+class LightTable(NamedTuple):
+    """[L]-shaped SoA of emissive primitives (kind 0 = sphere, 1 = rect)."""
+
+    kind: jnp.ndarray     # [L] i32
+    center: jnp.ndarray   # [L, 3] f32 — sphere center (zeros for rects)
+    radius: jnp.ndarray   # [L] f32   — sphere radius
+    axis: jnp.ndarray     # [L] i32   — rect normal axis
+    a0: jnp.ndarray       # [L] f32
+    a1: jnp.ndarray       # [L] f32
+    b0: jnp.ndarray       # [L] f32
+    b1: jnp.ndarray       # [L] f32
+    k: jnp.ndarray        # [L] f32
+    tex_id: jnp.ndarray   # [L] i32 — emission texture
+
+    @property
+    def count(self) -> int:
+        return self.kind.shape[0]
+
+
+def build_light_table(scene: Scene) -> Optional[LightTable]:
+    """Host-side extraction of the emissive primitives.
+
+    Covers sphere and rect lights (every preset's lights are one of the
+    two; an emissive box/medium would be skipped — its contribution still
+    arrives through BSDF hits, so the estimator stays unbiased either way).
+    Returns None when the scene has no sampleable lights.
+    """
+    mats = np.asarray(scene.materials.kind)
+    rows = []
+
+    sp = scene.spheres
+    sp_mask = np.asarray(sp.mask)
+    sp_mat = np.asarray(sp.mat_id)
+    for i in np.nonzero(sp_mask)[0]:
+        if mats[sp_mat[i]] == MAT_DIFFUSE_LIGHT:
+            rows.append(dict(
+                kind=0, center=np.asarray(sp.center)[i],
+                radius=abs(float(np.asarray(sp.radius)[i])),
+                axis=0, a0=0.0, a1=0.0, b0=0.0, b1=0.0, k=0.0,
+                tex_id=int(np.asarray(scene.materials.tex_id)[sp_mat[i]]),
+            ))
+
+    rc = scene.rects
+    rc_mask = np.asarray(rc.mask)
+    rc_mat = np.asarray(rc.mat_id)
+    for i in np.nonzero(rc_mask)[0]:
+        if mats[rc_mat[i]] == MAT_DIFFUSE_LIGHT:
+            rows.append(dict(
+                kind=1, center=np.zeros(3), radius=0.0,
+                axis=int(np.asarray(rc.axis)[i]),
+                a0=float(np.asarray(rc.a0)[i]), a1=float(np.asarray(rc.a1)[i]),
+                b0=float(np.asarray(rc.b0)[i]), b1=float(np.asarray(rc.b1)[i]),
+                k=float(np.asarray(rc.k)[i]),
+                tex_id=int(np.asarray(scene.materials.tex_id)[rc_mat[i]]),
+            ))
+
+    if not rows:
+        return None
+    f32 = np.float32
+    return LightTable(
+        kind=jnp.asarray([r["kind"] for r in rows], jnp.int32),
+        center=jnp.asarray(np.stack([r["center"] for r in rows]), f32),
+        radius=jnp.asarray([r["radius"] for r in rows], f32),
+        axis=jnp.asarray([r["axis"] for r in rows], jnp.int32),
+        a0=jnp.asarray([r["a0"] for r in rows], f32),
+        a1=jnp.asarray([r["a1"] for r in rows], f32),
+        b0=jnp.asarray([r["b0"] for r in rows], f32),
+        b1=jnp.asarray([r["b1"] for r in rows], f32),
+        k=jnp.asarray([r["k"] for r in rows], f32),
+        tex_id=jnp.asarray([r["tex_id"] for r in rows], jnp.int32),
+    )
+
+
+# in-plane axes for rect normal axis n (matches ops/intersect.py rects)
+_RECT_AXES = np.array([[1, 2], [0, 2], [0, 1]], np.int32)
+
+
+def sample_light_dirs(
+    lights: LightTable, point: jnp.ndarray, u: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample one light per lane; returns (wi, dist, pdf_w, light_idx, valid).
+
+    ``point``: [R, 3] shading points; ``u``: [R, 3] uniforms (light choice +
+    2 surface coordinates). ``pdf_w`` is the solid-angle density INCLUDING
+    the uniform 1/L light choice. ``valid`` is False where the geometry
+    makes the sample meaningless (shading point inside a sphere light, or a
+    zero-solid-angle configuration) — callers must fall back to the BSDF
+    estimator there.
+
+    Sphere lights use exact cone (visible-cap) sampling; rect lights use
+    uniform-area sampling converted to solid angle by dist^2 / (cos_l A),
+    treated double-sided like the reference's ``emitted``
+    (src/material.rs:161-167 never tests the side).
+    """
+    L = lights.count
+    R = point.shape[0]
+    idx = jnp.minimum((u[:, 0] * L).astype(jnp.int32), L - 1)       # [R]
+
+    kind = lights.kind[idx]
+    u1, u2 = u[:, 1], u[:, 2]
+
+    # --- sphere lights: cone sampling toward the visible cap
+    c = lights.center[idx]                                          # [R, 3]
+    r = lights.radius[idx]
+    to_c = c - point
+    d2 = jnp.sum(to_c * to_c, axis=-1)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    outside = d2 > r * r * (1.0 + 1e-4)
+    sin2_max = jnp.clip(r * r / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    cos_t = 1.0 - u1 * (1.0 - cos_max)                              # [R]
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * jnp.pi * u2
+    # orthonormal basis around the center direction
+    w = to_c / d[..., None]
+    a = jnp.where(
+        (jnp.abs(w[:, 0]) > 0.9)[..., None],
+        jnp.asarray([0.0, 1.0, 0.0], point.dtype),
+        jnp.asarray([1.0, 0.0, 0.0], point.dtype),
+    )
+    v1 = pmath.normalize(jnp.cross(w, a))
+    v2 = jnp.cross(w, v1)
+    wi_sph = (
+        w * cos_t[..., None]
+        + v1 * (jnp.cos(phi) * sin_t)[..., None]
+        + v2 * (jnp.sin(phi) * sin_t)[..., None]
+    )
+    solid_angle = 2.0 * jnp.pi * (1.0 - cos_max)
+    pdf_sph = 1.0 / jnp.maximum(solid_angle, 1e-12)
+    # distance to the sampled cap point: nearest sphere intersection along wi
+    cos_ray = jnp.sum(wi_sph * to_c, axis=-1)                        # d*cos_t
+    disc = jnp.maximum(cos_ray * cos_ray - (d2 - r * r), 0.0)
+    dist_sph = cos_ray - jnp.sqrt(disc)
+    valid_sph = outside & (solid_angle > 1e-9)
+
+    # --- rect lights: uniform area point
+    ax = lights.axis[idx]
+    pa = lights.a0[idx] + u1 * (lights.a1[idx] - lights.a0[idx])
+    pb = lights.b0[idx] + u2 * (lights.b1[idx] - lights.b0[idx])
+    kk = lights.k[idx]
+    a_ax = jnp.asarray(_RECT_AXES)[ax, 0]
+    b_ax = jnp.asarray(_RECT_AXES)[ax, 1]
+    one_hot = lambda axv: (jnp.arange(3)[None, :] == axv[:, None]).astype(point.dtype)
+    lp = one_hot(ax) * kk[:, None] + one_hot(a_ax) * pa[:, None] + one_hot(b_ax) * pb[:, None]
+    delta = lp - point
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    dist_r = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    wi_rect = delta / dist_r[..., None]
+    # double-sided: |cos| against the rect normal (the `ax` component)
+    cos_l = jnp.abs(jnp.take_along_axis(wi_rect, ax[:, None], axis=-1)[:, 0])
+    area = jnp.abs(
+        (lights.a1[idx] - lights.a0[idx]) * (lights.b1[idx] - lights.b0[idx])
+    )
+    pdf_rect = dist2 / jnp.maximum(cos_l * area, 1e-9)
+    valid_rect = (cos_l > 1e-6) & (area > 1e-12)
+
+    is_rect = kind == 1
+    wi = jnp.where(is_rect[..., None], wi_rect, wi_sph)
+    dist = jnp.where(is_rect, dist_r, dist_sph)
+    # effective density of the whole procedure: choose light (1/L), then
+    # direction (pdf_one) -> divide contributions by pdf_one / L
+    pdf = jnp.where(is_rect, pdf_rect, pdf_sph) / L
+    valid = jnp.where(is_rect, valid_rect, valid_sph)
+    return wi, dist, pdf, idx, valid

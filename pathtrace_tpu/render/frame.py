@@ -86,6 +86,7 @@ def render_frame(
     ray_chunk: int = 0,
     intersect_fn=None,
     stratify: bool = False,
+    nee_lights=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one frame. Returns (image [H, W, 3] linear RGB, ray_count []).
 
@@ -134,7 +135,7 @@ def render_frame(
             return trace_fn(
                 scene, ro_c, rd_c, time_c, ck, max_depth,
                 sphere_nearest_fn=sphere_nearest_fn, features=features,
-                intersect_fn=intersect_fn,
+                intersect_fn=intersect_fn, nee_lights=nee_lights,
             )
 
         radiance, counts = jax.lax.map(
@@ -152,7 +153,7 @@ def render_frame(
         radiance, ray_count = trace_fn(
             scene, ro, rd, time, ktrace, max_depth,
             sphere_nearest_fn=sphere_nearest_fn, features=features,
-            intersect_fn=intersect_fn,
+            intersect_fn=intersect_fn, nee_lights=nee_lights,
         )
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)
     return img, ray_count
@@ -184,6 +185,7 @@ def render_frame_jit(
     features: SceneFeatures = None,
     ray_chunk: int = 0,
     stratify: bool = False,
+    nee_lights=None,
 ):
     """Jitted whole-frame render, optionally with the Pallas sphere kernel."""
     fn = None
@@ -194,5 +196,5 @@ def render_frame_jit(
     return render_frame(
         scene, camera, width, height, samples, max_depth, key,
         sphere_nearest_fn=fn, features=features, ray_chunk=ray_chunk,
-        stratify=stratify,
+        stratify=stratify, nee_lights=nee_lights,
     )

@@ -59,6 +59,10 @@ class WavefrontState(NamedTuple):
     throughput: jnp.ndarray  # [R, 3]
     alive: jnp.ndarray       # [R] bool
     ray_count: jnp.ndarray   # [] i32 — traced ray segments (Mrays metric)
+    # True where the previous vertex already estimated its direct light by
+    # NEE: primitive emission hit by this lane's BSDF ray must not be
+    # double-counted (sky is unaffected — NEE never samples it)
+    suppress_emit: jnp.ndarray  # [R] bool
 
 
 def _bounce(
@@ -69,6 +73,7 @@ def _bounce(
     sphere_nearest_fn,
     features: SceneFeatures,
     intersect_fn=None,
+    nee_lights=None,
 ) -> WavefrontState:
     """One wavefront bounce: intersect, emit/sky, scatter, advance.
 
@@ -76,6 +81,13 @@ def _bounce(
     ``emitted + attenuation * ray_trace(scattered)`` (src/scene.rs:58-66):
     the running ``throughput`` carries the attenuation product, so emission
     and sky terms accumulate as ``radiance += throughput * term``.
+
+    ``nee_lights`` (a :class:`~pathtrace_tpu.ops.lights.LightTable`) turns
+    on next-event estimation: diffuse vertices (lambertian/isotropic) cast
+    one shadow ray at a sampled light and suppress primitive emission on
+    their next BSDF hit, keeping the combined estimator unbiased with far
+    lower variance on light-driven scenes than the reference's BSDF-only
+    integration (src/scene.rs:58-66).
     """
     kb = jax.random.fold_in(key, state.depth)
     med_u = None
@@ -99,10 +111,89 @@ def _bounce(
 
     alive_f = state.alive.astype(state.ro.dtype)[..., None]
     sky = sky_color(scene, state.rd)
-    emit_term = jnp.where(rec.hit[..., None], sc.emitted, sky)
+    emitted = sc.emitted
+    if nee_lights is not None:
+        # the previous vertex already owned this emission via its NEE sample
+        emitted = jnp.where(state.suppress_emit[..., None],
+                            jnp.zeros_like(emitted), emitted)
+    emit_term = jnp.where(rec.hit[..., None], emitted, sky)
     radiance = state.radiance + state.throughput * emit_term * alive_f
 
     can_scatter = state.alive & rec.hit & sc.ok & (state.depth < max_depth)
+
+    suppress_next = state.time != state.time  # varying all-False
+    shadow_rays = jnp.int32(0)
+    if nee_lights is not None:
+        from pathtrace_tpu.models.types import MAT_ISOTROPIC, MAT_LAMBERTIAN
+        from pathtrace_tpu.ops import lights as plights
+        from pathtrace_tpu.ops.texture import texture_value
+
+        mat_kind = scene.materials.kind[rec.mat_id]
+        is_lam = mat_kind == MAT_LAMBERTIAN
+        diffuse = is_lam | (mat_kind == MAT_ISOTROPIC)
+        # gate on can_scatter (depth < max_depth): the BSDF estimator only
+        # sees this direct light if the path continues, so NEE must apply
+        # under the same depth budget for the two estimators to agree
+        nee_mask = can_scatter & diffuse
+
+        lu = jax.random.uniform(jax.random.fold_in(kb, 2),
+                                state.time.shape + (3,))
+        # missed lanes carry unbounded hit points; pin them to the origin so
+        # no NaN/inf can leak out of the masked lanes' arithmetic
+        safe_p = jnp.where(nee_mask[..., None], rec.point,
+                           jnp.zeros_like(rec.point))
+        wi, ldist, lpdf, lidx, lvalid = plights.sample_light_dirs(
+            nee_lights, safe_p, lu
+        )
+        nee_mask = nee_mask & lvalid
+
+        smed_u = None
+        if features.has_media:
+            smed_u = jax.random.uniform(
+                jax.random.fold_in(kb, 3),
+                state.time.shape + (scene.media.count,),
+            )
+        if intersect_fn is not None:
+            srec = intersect_fn(scene, safe_p, wi, state.time, smed_u)
+        else:
+            srec = isect.intersect_scene(
+                scene, safe_p, wi, state.time, smed_u,
+                sphere_nearest_fn=sphere_nearest_fn, features=features,
+            )
+        # unoccluded iff nothing lands strictly before the light sample
+        # (the light itself is scene geometry and resolves at t ~= dist)
+        unoccluded = jnp.logical_not(
+            srec.hit & (srec.t < ldist * (1.0 - 1e-3))
+        )
+
+        light_p = safe_p + wi * ldist[..., None]
+        le = texture_value(
+            scene, nee_lights.tex_id[lidx],
+            jnp.full_like(ldist, 0.5), jnp.full_like(ldist, 0.5), light_p,
+            features=features,
+        )
+        safe_n = jnp.where(nee_mask[..., None], rec.normal,
+                           jnp.zeros_like(rec.normal))
+        cos_s = jnp.maximum(jnp.sum(wi * safe_n, axis=-1), 0.0)
+        inv_pi = 1.0 / jnp.pi
+        # lambertian f*cos = albedo*cos/pi; isotropic phase = albedo/(4*pi)
+        f_term = jnp.where(
+            is_lam[..., None],
+            sc.attenuation * (cos_s * inv_pi)[..., None],
+            sc.attenuation * (0.25 * inv_pi),
+        )
+        contrib = state.throughput * f_term * le / jnp.maximum(
+            lpdf, 1e-12
+        )[..., None]
+        radiance = radiance + jnp.where(
+            (nee_mask & unoccluded)[..., None], contrib,
+            jnp.zeros_like(contrib),
+        )
+        # emission at the lane's NEXT hit is owned by this sample whether
+        # or not the shadow ray was occluded
+        suppress_next = nee_mask
+        shadow_rays = jnp.sum(nee_mask, dtype=jnp.int32)
+
     cs = can_scatter[..., None]
     throughput = jnp.where(cs, state.throughput * sc.attenuation, state.throughput)
     ro = jnp.where(cs, rec.point, state.ro)
@@ -116,7 +207,9 @@ def _bounce(
         radiance=radiance,
         throughput=throughput,
         alive=can_scatter,
-        ray_count=state.ray_count + jnp.sum(state.alive, dtype=jnp.int32),
+        ray_count=state.ray_count
+        + jnp.sum(state.alive, dtype=jnp.int32) + shadow_rays,
+        suppress_emit=suppress_next,
     )
 
 
@@ -134,6 +227,7 @@ def _initial_state(ro, rd, time) -> WavefrontState:
         alive=time == time,  # True unless NaN-padded (born-dead lanes)
         # NaN-safe varying zero (sum(time*0) would be NaN for padded lanes)
         ray_count=jnp.sum((time == time).astype(jnp.int32)) * 0,
+        suppress_emit=time != time,  # varying all-False
     )
 
 
@@ -147,6 +241,7 @@ def trace(
     sphere_nearest_fn=None,
     features: SceneFeatures = None,
     intersect_fn=None,
+    nee_lights=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fast forward trace: while_loop with whole-wavefront early exit.
 
@@ -161,7 +256,8 @@ def trace(
 
     def body(state: WavefrontState):
         return _bounce(scene, state, key, max_depth, sphere_nearest_fn,
-                       features, intersect_fn=intersect_fn)
+                       features, intersect_fn=intersect_fn,
+                       nee_lights=nee_lights)
 
     final = jax.lax.while_loop(cond, body, _initial_state(ro, rd, time))
     return final.radiance, final.ray_count
@@ -177,6 +273,7 @@ def trace_diff(
     sphere_nearest_fn=None,
     features: SceneFeatures = None,
     intersect_fn=None,
+    nee_lights=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable trace: scan over the full static bounce budget.
 
@@ -188,7 +285,8 @@ def trace_diff(
 
     def step(state: WavefrontState, _):
         return _bounce(scene, state, key, max_depth, sphere_nearest_fn,
-                       features, intersect_fn=intersect_fn), None
+                       features, intersect_fn=intersect_fn,
+                       nee_lights=nee_lights), None
 
     final, _ = jax.lax.scan(
         step, _initial_state(ro, rd, time), None, length=max_depth + 1

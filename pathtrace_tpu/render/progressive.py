@@ -49,6 +49,7 @@ def render_progressive(
     group: Optional[int] = None,
     compaction: bool = True,
     stratify: bool = False,
+    nee: bool = False,
     on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
@@ -89,6 +90,20 @@ def render_progressive(
 
         sphere_nearest_fn = sphere_nearest_pallas
 
+    nee_lights = None
+    if nee:
+        # NEE rides the general integrator (quality mode: one extra shadow
+        # intersection per diffuse bounce); lightless scenes fall through
+        # with nee_lights=None, which is the identical default estimator
+        from pathtrace_tpu.ops.lights import build_light_table
+
+        nee_lights = build_light_table(scene)
+        if nee_lights is not None:
+            nee_lights = jax.device_put(nee_lights)
+            if mode not in ("auto", "general"):
+                log(f"nee: ignored in --mode {mode} (general-path feature)")
+                nee_lights = None
+
     # mode selection: the fast path (pallas closest-hit + single-row-gather
     # shading + stream compaction) when the scene class supports it
     from pathtrace_tpu.ops.fastpath import fastpath_supported, render_frame_fast
@@ -97,7 +112,8 @@ def render_progressive(
         mode == "fast"
         or (mode == "auto" and fastpath_supported(features, scene)
             and sphere_nearest_fn is None and intersect_fn is None
-            and not (use_bvh or params.use_bvh))
+            and not (use_bvh or params.use_bvh)
+            and nee_lights is None)
     )
 
     if use_fast:
@@ -152,6 +168,7 @@ def render_progressive(
                 params.max_depth, key,
                 sphere_nearest_fn=sphere_nearest_fn, features=features,
                 intersect_fn=intersect_fn, stratify=stratify,
+                nee_lights=nee_lights,
             )
 
         def frame_fn(scene_arg, key, frame_idx):

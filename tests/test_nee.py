@@ -1,0 +1,146 @@
+"""Next-event estimation (--nee).
+
+Beyond-reference feature: the reference integrates lights only through BSDF
+path hits (src/scene.rs:58-66). NEE must (a) keep the estimator unbiased —
+same mean as the plain integrator, (b) cut variance hard on light-driven
+scenes, (c) be the identity on lightless scenes, (d) sample light geometry
+correctly (every sampled direction actually reaches its light).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pathtrace_tpu.models import presets
+from pathtrace_tpu.models.types import SceneFeatures
+from pathtrace_tpu.ops.lights import build_light_table, sample_light_dirs
+from pathtrace_tpu.render import integrator
+from pathtrace_tpu.render.frame import render_frame
+
+
+class TestLightTable:
+    def test_cornell_has_one_rect_light(self):
+        scene, _ = presets.cornell(1.0)
+        lt = build_light_table(scene)
+        assert lt is not None and lt.count == 1
+        assert int(lt.kind[0]) == 1  # rect
+
+    def test_simple_light_collects_both(self):
+        scene, _ = presets.simple_light(1.0)
+        lt = build_light_table(scene)
+        # reference simple_light: one emissive sphere + one emissive rect
+        assert lt is not None and lt.count == 2
+        assert sorted(np.asarray(lt.kind).tolist()) == [0, 1]
+
+    def test_lightless_scene_returns_none(self):
+        scene, _ = presets.small(1.0)
+        assert build_light_table(scene) is None
+
+
+class TestSampling:
+    def test_sampled_dirs_hit_their_light(self):
+        """Every valid sample must actually reach the sampled light: re-test
+        the sampled (origin, wi, dist) against the light geometry."""
+        scene, _ = presets.simple_light(1.0)
+        lt = build_light_table(scene)
+        rng = np.random.default_rng(0)
+        n = 4096
+        # shading points scattered near the scene's spheres
+        pts = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+        pts[:, 1] = rng.uniform(0.2, 3.0, n)
+        u = rng.random((n, 3)).astype(np.float32)
+        wi, dist, pdf, idx, valid = jax.tree_util.tree_map(
+            np.asarray, sample_light_dirs(lt, pts, u)
+        )
+        assert valid.mean() > 0.95
+        assert (pdf[valid] > 0).all() and np.isfinite(pdf[valid]).all()
+        hit_p = pts + wi * dist[:, None]
+        kind = np.asarray(lt.kind)[idx]
+        # rect samples land on the rect (axis-plane + inside bounds)
+        rect = valid & (kind == 1)
+        ax = np.asarray(lt.axis)[idx][rect]
+        k = np.asarray(lt.k)[idx][rect]
+        np.testing.assert_allclose(
+            hit_p[rect][np.arange(rect.sum()), ax], k, atol=1e-3
+        )
+        # sphere samples land on the sphere surface
+        sph = valid & (kind == 0)
+        c = np.asarray(lt.center)[idx][sph]
+        r = np.asarray(lt.radius)[idx][sph]
+        d = np.linalg.norm(hit_p[sph] - c, axis=-1)
+        np.testing.assert_allclose(d, r, rtol=5e-3)
+
+
+def _render(preset, nee, seed, w=48, h=48, spp=16, depth=8):
+    scene, cam = presets.from_name(preset, aspect=w / h, seed=0)
+    feats = SceneFeatures.from_scene(scene)
+    lt = build_light_table(scene) if nee else None
+    img, rays = render_frame(
+        scene, cam, w, h, spp, depth, jax.random.PRNGKey(seed),
+        features=feats, nee_lights=lt,
+    )
+    return np.asarray(img), int(rays)
+
+
+class TestEstimator:
+    @pytest.mark.parametrize("preset", ["cornell", "simple_light"])
+    def test_unbiased_same_mean(self, preset):
+        a = np.mean([_render(preset, True, s)[0] for s in range(4)], axis=0)
+        b = np.mean([_render(preset, False, 100 + s)[0] for s in range(4)],
+                    axis=0)
+        # NEE's mean converges far faster; the tolerance is set by the
+        # PLAIN estimator's noise at 64 effective spp
+        assert abs(float(a.mean()) - float(b.mean())) < 0.03, (
+            a.mean(), b.mean()
+        )
+
+    def test_variance_reduction_cornell(self):
+        strat = np.stack([_render("cornell", True, s, spp=4)[0]
+                          for s in range(4)])
+        plain = np.stack([_render("cornell", False, 100 + s, spp=4)[0]
+                          for s in range(4)])
+        v_nee = strat.std(axis=0).mean()
+        v_plain = plain.std(axis=0).mean()
+        assert v_nee < 0.35 * v_plain, (v_nee, v_plain)
+
+    def test_lightless_scene_identical(self):
+        a, ra = _render("small", True, 7, spp=4)
+        b, rb = _render("small", False, 7, spp=4)
+        np.testing.assert_array_equal(a, b)
+        assert ra == rb
+
+    def test_shadow_rays_counted(self):
+        _, ra = _render("cornell", True, 3, spp=2)
+        _, rb = _render("cornell", False, 3, spp=2)
+        assert ra > rb  # NEE traces extra (real) shadow segments
+
+    def test_diff_path_nee_grads_finite(self):
+        import jax.numpy as jnp
+
+        scene, cam = presets.cornell(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        lt = build_light_table(scene)
+        from pathtrace_tpu.camera import get_rays
+
+        key = jax.random.PRNGKey(0)
+        n = 512
+        s = jax.random.uniform(jax.random.fold_in(key, 0), (n,))
+        t = jax.random.uniform(jax.random.fold_in(key, 1), (n,))
+        u = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
+        ro, rd, tm = get_rays(cam, s, t, u)
+
+        import dataclasses
+
+        def loss(colors):
+            sc = dataclasses.replace(
+                scene, textures=dataclasses.replace(
+                    scene.textures, color=colors))
+            rad, _ = integrator.trace_diff(
+                sc, ro, rd, tm, key, 6, features=feats, nee_lights=lt
+            )
+            return jnp.sum(rad) / n
+
+        g = jax.grad(loss)(jnp.asarray(scene.textures.color))
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0  # gradients actually flow
