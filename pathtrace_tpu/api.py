@@ -48,6 +48,7 @@ def render(
     compaction: bool = True,
     stratify: bool = False,
     nee: bool = False,
+    rr_start: int = 0,
     out: Optional[str] = None,
     **progressive_kwargs,
 ) -> np.ndarray:
@@ -80,7 +81,7 @@ def render(
         max_frames=frames,
         features=SceneFeatures.from_scene(scene),
         mode=mode, use_bvh=use_bvh, group=group, compaction=compaction,
-        stratify=stratify, nee=nee,
+        stratify=stratify, nee=nee, rr_start=rr_start,
         log=lambda _s: None,
         **progressive_kwargs,
     )

@@ -109,6 +109,17 @@ def build_parser() -> argparse.ArgumentParser:
              "scenes like cornell). Runs on the general integrator",
     )
     p.add_argument(
+        "--aovs", action="store_true",
+        help="Also write first-hit AOV buffers (<out>.normal/.albedo/"
+             ".depth.png) — denoiser/compositing guides",
+    )
+    p.add_argument(
+        "--rr", type=int, default=0, metavar="DEPTH",
+        help="Russian-roulette path termination from this bounce depth "
+             "(0 = off). Unbiased; kills deep low-energy paths early. "
+             "General integrator only",
+    )
+    p.add_argument(
         "--stratify", action="store_true",
         help="Latin-hypercube in-pixel sample stratification (lower "
              "variance per sample than the reference's uniform jitter; "
@@ -193,13 +204,25 @@ def _run(args) -> int:
                         use_bvh=args.bvh)
         return 0
 
+    if args.aovs:
+        import jax
+
+        from pathtrace_tpu.render.aov import render_aovs, save_aov_pngs
+
+        aovs = render_aovs(scene, camera, params.width, params.height,
+                           jax.random.PRNGKey(params.resolve_seed()),
+                           features=features)
+        prefix = args.out[:-4] if args.out.endswith(".png") else args.out
+        save_aov_pngs(aovs, prefix)
+        print(f"wrote {prefix}.normal/.albedo/.depth.png")
+
     if args.offline:
         start = time.monotonic()
         result = render_progressive(
             scene, camera, params, max_frames=1, features=features,
             use_pallas=args.pallas, use_bvh=args.bvh, mode=args.mode,
             group=args.group, compaction=not args.no_compaction,
-            stratify=args.stratify, nee=args.nee,
+            stratify=args.stratify, nee=args.nee, rr_start=args.rr,
         )
         elapsed = time.monotonic() - start
         # same offline report shape as reference src/offline.rs:36-41
@@ -224,6 +247,7 @@ def _run(args) -> int:
         compaction=not args.no_compaction,
         stratify=args.stratify,
         nee=args.nee,
+        rr_start=args.rr,
         checkpoint_path=args.checkpoint,
         snapshot_path=args.out,
         snapshot_every=args.snapshot_every,

@@ -87,6 +87,7 @@ def render_frame(
     intersect_fn=None,
     stratify: bool = False,
     nee_lights=None,
+    rr_start: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Render one frame. Returns (image [H, W, 3] linear RGB, ray_count []).
 
@@ -136,6 +137,7 @@ def render_frame(
                 scene, ro_c, rd_c, time_c, ck, max_depth,
                 sphere_nearest_fn=sphere_nearest_fn, features=features,
                 intersect_fn=intersect_fn, nee_lights=nee_lights,
+                rr_start=rr_start,
             )
 
         radiance, counts = jax.lax.map(
@@ -154,6 +156,7 @@ def render_frame(
             scene, ro, rd, time, ktrace, max_depth,
             sphere_nearest_fn=sphere_nearest_fn, features=features,
             intersect_fn=intersect_fn, nee_lights=nee_lights,
+            rr_start=rr_start,
         )
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)
     return img, ray_count
@@ -170,7 +173,7 @@ def accumulate(acc_image, new_image, frame_num):
     jax.jit,
     static_argnames=(
         "width", "height", "samples", "max_depth", "use_pallas", "features",
-        "ray_chunk", "stratify",
+        "ray_chunk", "stratify", "rr_start",
     ),
 )
 def render_frame_jit(
@@ -186,6 +189,7 @@ def render_frame_jit(
     ray_chunk: int = 0,
     stratify: bool = False,
     nee_lights=None,
+    rr_start: int = 0,
 ):
     """Jitted whole-frame render, optionally with the Pallas sphere kernel."""
     fn = None
@@ -196,5 +200,5 @@ def render_frame_jit(
     return render_frame(
         scene, camera, width, height, samples, max_depth, key,
         sphere_nearest_fn=fn, features=features, ray_chunk=ray_chunk,
-        stratify=stratify, nee_lights=nee_lights,
+        stratify=stratify, nee_lights=nee_lights, rr_start=rr_start,
     )

@@ -74,6 +74,7 @@ def _bounce(
     features: SceneFeatures,
     intersect_fn=None,
     nee_lights=None,
+    rr_start: int = 0,
 ) -> WavefrontState:
     """One wavefront bounce: intersect, emit/sky, scatter, advance.
 
@@ -196,6 +197,25 @@ def _bounce(
 
     cs = can_scatter[..., None]
     throughput = jnp.where(cs, state.throughput * sc.attenuation, state.throughput)
+
+    if rr_start > 0:
+        # Russian roulette (beyond-reference, opt-in): from bounce rr_start
+        # survive with p = max throughput channel (floored), dividing it
+        # back out — unbiased, kills deep low-energy paths instead of
+        # carrying them to the depth budget (the reference has none; its
+        # paths terminate only by depth/absorption, scene.rs:60-66)
+        p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+        rr_u = jax.random.uniform(jax.random.fold_in(kb, 4),
+                                  state.time.shape)
+        roll = state.depth >= rr_start
+        survive = jnp.logical_not(roll) | (rr_u < p)
+        throughput = jnp.where(
+            (roll & survive)[..., None], throughput / p[..., None],
+            throughput,
+        )
+        can_scatter = can_scatter & survive
+        cs = can_scatter[..., None]
+
     ro = jnp.where(cs, rec.point, state.ro)
     rd = jnp.where(cs, sc.direction, state.rd)
 
@@ -242,6 +262,7 @@ def trace(
     features: SceneFeatures = None,
     intersect_fn=None,
     nee_lights=None,
+    rr_start: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fast forward trace: while_loop with whole-wavefront early exit.
 
@@ -257,7 +278,7 @@ def trace(
     def body(state: WavefrontState):
         return _bounce(scene, state, key, max_depth, sphere_nearest_fn,
                        features, intersect_fn=intersect_fn,
-                       nee_lights=nee_lights)
+                       nee_lights=nee_lights, rr_start=rr_start)
 
     final = jax.lax.while_loop(cond, body, _initial_state(ro, rd, time))
     return final.radiance, final.ray_count
@@ -274,6 +295,7 @@ def trace_diff(
     features: SceneFeatures = None,
     intersect_fn=None,
     nee_lights=None,
+    rr_start: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Differentiable trace: scan over the full static bounce budget.
 
@@ -286,7 +308,7 @@ def trace_diff(
     def step(state: WavefrontState, _):
         return _bounce(scene, state, key, max_depth, sphere_nearest_fn,
                        features, intersect_fn=intersect_fn,
-                       nee_lights=nee_lights), None
+                       nee_lights=nee_lights, rr_start=rr_start), None
 
     final, _ = jax.lax.scan(
         step, _initial_state(ro, rd, time), None, length=max_depth + 1

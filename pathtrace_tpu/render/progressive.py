@@ -50,6 +50,7 @@ def render_progressive(
     compaction: bool = True,
     stratify: bool = False,
     nee: bool = False,
+    rr_start: int = 0,
     on_frame: Optional[Callable[[int, np.ndarray], None]] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 50,
@@ -113,7 +114,7 @@ def render_progressive(
         or (mode == "auto" and fastpath_supported(features, scene)
             and sphere_nearest_fn is None and intersect_fn is None
             and not (use_bvh or params.use_bvh)
-            and nee_lights is None)
+            and nee_lights is None and rr_start == 0)
     )
 
     if use_fast:
@@ -168,7 +169,7 @@ def render_progressive(
                 params.max_depth, key,
                 sphere_nearest_fn=sphere_nearest_fn, features=features,
                 intersect_fn=intersect_fn, stratify=stratify,
-                nee_lights=nee_lights,
+                nee_lights=nee_lights, rr_start=rr_start,
             )
 
         def frame_fn(scene_arg, key, frame_idx):
