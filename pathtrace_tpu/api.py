@@ -49,6 +49,7 @@ def render(
     stratify: bool = False,
     nee: bool = False,
     rr_start: int = 0,
+    denoise: bool = False,
     out: Optional[str] = None,
     **progressive_kwargs,
 ) -> np.ndarray:
@@ -85,11 +86,24 @@ def render(
         log=lambda _s: None,
         **progressive_kwargs,
     )
+    image = result.image
+    if denoise:
+        import jax
+        import jax.numpy as jnp
+
+        from pathtrace_tpu.render.aov import render_aovs
+        from pathtrace_tpu.render.denoise import atrous_denoise
+
+        aovs = render_aovs(scene, camera, width, height,
+                           jax.random.PRNGKey(seed), samples=2)
+        image = np.asarray(atrous_denoise(
+            jnp.asarray(image), aovs["normal"], aovs["albedo"],
+            aovs["depth"]))
     if out is not None:
         from pathtrace_tpu.render import film
 
-        film.save_frame_png(out, result.image)
-    return result.image
+        film.save_frame_png(out, image)
+    return image
 
 
 def preset_names() -> list:

@@ -114,6 +114,19 @@ def build_parser() -> argparse.ArgumentParser:
              ".depth.png) — denoiser/compositing guides",
     )
     p.add_argument(
+        "--adaptive", type=int, default=0, metavar="SPP",
+        help="Adaptive sampling to an average budget of SPP samples/pixel: "
+             "after a uniform warmup, each round refines only the "
+             "highest-variance quarter of the pixels (-S sets the "
+             "samples-per-pixel-per-round). Implies a single offline frame",
+    )
+    p.add_argument(
+        "--denoise", action="store_true",
+        help="Edge-avoiding a-trous wavelet filter on the final image, "
+             "guided by first-hit AOVs (albedo-demodulated; keeps texture "
+             "and geometric edges)",
+    )
+    p.add_argument(
         "--rr", type=int, default=0, metavar="DEPTH",
         help="Russian-roulette path termination from this bounce depth "
              "(0 = off). Unbiased; kills deep low-energy paths early. "
@@ -134,8 +147,36 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _machine_fingerprint() -> str:
+    """Hash of the host CPU feature flags.
+
+    XLA:CPU AOT executables are machine-specific but JAX's cache key does
+    not fully capture host CPU features; on infrastructure where the host
+    behind the container rotates, loading another machine's cached CPU
+    executable can SIGILL/segfault (observed). CPU cache entries therefore
+    live in a per-machine subdir.
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
+
 def _enable_compilation_cache() -> None:
-    """Persist XLA compilations across processes (compiles are 60s+ on TPU)."""
+    """Persist XLA compilations across processes (compiles are 60s+ on TPU).
+
+    TPU executables are host-independent and share the base dir (they are
+    the expensive ones — minutes each on the remote-compile service); CPU
+    executables go to a per-machine subdir (see _machine_fingerprint).
+    """
     import os
 
     import jax
@@ -143,6 +184,12 @@ def _enable_compilation_cache() -> None:
     cache_dir = os.environ.get(
         "PATHTRACE_JAX_CACHE", os.path.expanduser("~/.cache/pathtrace_tpu_jax")
     )
+    # config (not jax.devices()) — initializing the backend here would
+    # block for minutes when the TPU tunnel is down. Every CPU path sets
+    # jax_platforms explicitly (conftest, --platform) before this runs.
+    platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if platforms == "cpu":
+        cache_dir = os.path.join(cache_dir, f"cpu-{_machine_fingerprint()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -173,6 +220,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(f"profiler trace written to {args.profile_dir}")
         return rc
     return _run(args)
+
+
+def _denoise(args, scene, camera, params, features, image):
+    import jax
+    import numpy as np
+
+    from pathtrace_tpu.render.aov import render_aovs
+    from pathtrace_tpu.render.denoise import atrous_denoise
+
+    aovs = render_aovs(scene, camera, params.width, params.height,
+                       jax.random.PRNGKey(params.resolve_seed()),
+                       features=features, samples=2)
+    return np.asarray(atrous_denoise(
+        jax.numpy.asarray(image), aovs["normal"], aovs["albedo"],
+        aovs["depth"],
+    ))
 
 
 def _run(args) -> int:
@@ -216,6 +279,30 @@ def _run(args) -> int:
         save_aov_pngs(aovs, prefix)
         print(f"wrote {prefix}.normal/.albedo/.depth.png")
 
+    if args.adaptive:
+        from pathtrace_tpu.render.adaptive import render_adaptive
+
+        nee_lights = None
+        if args.nee:
+            from pathtrace_tpu.ops.lights import build_light_table
+
+            nee_lights = build_light_table(scene)
+        start = time.monotonic()
+        image, total_rays, _ = render_adaptive(
+            scene, camera, params, args.adaptive, features=features,
+            nee_lights=nee_lights,
+        )
+        elapsed = time.monotonic() - start
+        print(
+            f"{elapsed:.2f}secs {total_rays}rays "
+            f"{total_rays / 1e6 / elapsed:.2f}Mrays/s"
+        )
+        if args.denoise:
+            image = _denoise(args, scene, camera, params, features, image)
+        film.save_frame_png(args.out, image)
+        print(f"wrote {args.out}")
+        return 0
+
     if args.offline:
         start = time.monotonic()
         result = render_progressive(
@@ -230,7 +317,10 @@ def _run(args) -> int:
             f"{elapsed:.2f}secs {result.total_rays}rays "
             f"{result.total_rays / 1e6 / elapsed:.2f}Mrays/s"
         )
-        film.save_frame_png(args.out, result.image)
+        image = result.image
+        if args.denoise:
+            image = _denoise(args, scene, camera, params, features, image)
+        film.save_frame_png(args.out, image)
         print(f"wrote {args.out}")
         return 0
 
@@ -254,7 +344,10 @@ def _run(args) -> int:
         preview=not args.no_preview,
         preview_port=args.preview_port,
     )
-    film.save_frame_png(args.out, result.image)
+    image = result.image
+    if args.denoise:
+        image = _denoise(args, scene, camera, params, features, image)
+    film.save_frame_png(args.out, image)
     print(f"wrote {args.out} after {result.frames} frames")
     return 0
 
