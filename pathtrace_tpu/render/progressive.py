@@ -203,25 +203,29 @@ def render_progressive(
     frame = start_frame
     end_frame = start_frame + max_frames if max_frames is not None else None
 
-    while end_frame is None or frame < end_frame:
-        key = jax.random.fold_in(base_key, frame)
-        img, rays = frame_fn(scene, key, frame)
-        acc = img if acc is None else accumulate(acc, img, frame)
-        rays = int(rays)  # device sync point for this frame
-        total_rays += rays
-        line = meter.add_frame(rays)
-        if line:
-            log(line)
-        frame += 1
+    try:
+        while end_frame is None or frame < end_frame:
+            key = jax.random.fold_in(base_key, frame)
+            img, rays = frame_fn(scene, key, frame)
+            acc = img if acc is None else accumulate(acc, img, frame)
+            rays = int(rays)  # device sync point for this frame
+            total_rays += rays
+            line = meter.add_frame(rays)
+            if line:
+                log(line)
+            frame += 1
+            if preview_server is not None:
+                rate = total_rays / 1e6 / max(_time.monotonic() - t_start, 1e-9)
+                preview_server.update(acc, frame, rate)
+            if on_frame is not None:
+                on_frame(frame, acc)
+            if checkpoint_path and frame % checkpoint_every == 0:
+                ckpt.save(checkpoint_path, np.asarray(acc), frame, seed)
+            if snapshot_path and snapshot_every and frame % snapshot_every == 0:
+                film.save_frame_png(snapshot_path, np.asarray(acc))
+    finally:
         if preview_server is not None:
-            rate = total_rays / 1e6 / max(_time.monotonic() - t_start, 1e-9)
-            preview_server.update(acc, frame, rate)
-        if on_frame is not None:
-            on_frame(frame, acc)
-        if checkpoint_path and frame % checkpoint_every == 0:
-            ckpt.save(checkpoint_path, np.asarray(acc), frame, seed)
-        if snapshot_path and snapshot_every and frame % snapshot_every == 0:
-            film.save_frame_png(snapshot_path, np.asarray(acc))
+            preview_server.close()
 
     acc_np = np.asarray(acc) if acc is not None else np.zeros(
         (params.height, params.width, 3), np.float32
