@@ -57,18 +57,19 @@ def main() -> int:
     group = int(sys.argv[1]) if len(sys.argv) > 1 else None
 
     def run(frame):
+        # NOTE: rays is returned as a DEVICE scalar — reading it back per
+        # frame (int()) would insert a tunnel round-trip inside the timed
+        # loop and serialize the very pipelining this bench measures.
         key = jax.random.PRNGKey(frame)
         if use_fast:
-            img, rays = render_frame_fast(
+            return render_frame_fast(
                 scene, camera, width, height, samples, max_depth, key,
                 frame, features, group=group,
             )
-            return img, int(rays)
-        img, rays = render_frame_jit(
+        return render_frame_jit(
             scene, camera, width, height, samples, max_depth, key,
             features=features, ray_chunk=1 << 19,
         )
-        return img, int(rays)
 
     # warmup/compile
     img, rays = run(0)
@@ -83,16 +84,16 @@ def main() -> int:
     # the final np.asarray is the only true completion barrier
     # (block_until_ready is a no-op on this platform).
     n_frames = 6
-    total_rays = 0
+    total_rays = None
     acc = None
     t0 = time.perf_counter()
     for f in range(1, n_frames + 1):
         img, rays = run(f)
         acc = img if acc is None else acc + img
-        total_rays += rays
+        total_rays = rays if total_rays is None else total_rays + rays
     np.asarray(acc)
     dt = time.perf_counter() - t0
-    best = total_rays / 1e6 / dt
+    best = int(total_rays) / 1e6 / dt
 
     print(
         json.dumps(
