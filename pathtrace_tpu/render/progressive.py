@@ -203,16 +203,34 @@ def render_progressive(
     frame = start_frame
     end_frame = start_frame + max_frames if max_frames is not None else None
 
+    # Ray counts stay on device and are read back SYNC_LAG frames late:
+    # int(rays) is a full tunnel round trip on this platform, and a
+    # per-frame sync serializes the very pipeline this loop exists to run
+    # (frame N+1's dispatches overlapping frame N's device work — the
+    # reference's worker/display overlap, glium_window.rs:81-135). Counts
+    # only feed the meter, so consuming them late is always safe; the same
+    # trick as the fast path's lagged alive-count syncs.
+    from collections import deque
+
+    sync_lag = 2
+    pending = deque()
+
+    def _drain(leave: int) -> None:
+        nonlocal total_rays
+        while len(pending) > leave:
+            r = int(pending.popleft())
+            total_rays += r
+            line = meter.add_frame(r)
+            if line:
+                log(line)
+
     try:
         while end_frame is None or frame < end_frame:
             key = jax.random.fold_in(base_key, frame)
             img, rays = frame_fn(scene, key, frame)
             acc = img if acc is None else accumulate(acc, img, frame)
-            rays = int(rays)  # device sync point for this frame
-            total_rays += rays
-            line = meter.add_frame(rays)
-            if line:
-                log(line)
+            pending.append(rays)
+            _drain(sync_lag)
             frame += 1
             if preview_server is not None:
                 rate = total_rays / 1e6 / max(_time.monotonic() - t_start, 1e-9)
@@ -223,6 +241,7 @@ def render_progressive(
                 ckpt.save(checkpoint_path, np.asarray(acc), frame, seed)
             if snapshot_path and snapshot_every and frame % snapshot_every == 0:
                 film.save_frame_png(snapshot_path, np.asarray(acc))
+        _drain(0)
     finally:
         if preview_server is not None:
             preview_server.close()
