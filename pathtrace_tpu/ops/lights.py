@@ -3,8 +3,9 @@
 Beyond-reference estimator: the reference integrates emissive surfaces only
 through BSDF path hits (reference ``src/scene.rs:58-66`` — its cornell at
 low spp is famously noisy). NEE samples the lights explicitly with shadow
-rays; the integrator pairs it with diffuse-lobe emission suppression so the
-combined estimator stays unbiased (``render/integrator.py``).
+rays; the integrator combines the light-sample and BSDF-sample estimators
+with the MIS power heuristic so the pair stays unbiased and robust for
+lights of every solid angle (``render/integrator.py``).
 
 Wavefront design: the light list is a tiny static table (scenes have 1-2
 lights); every lane samples ONE light uniformly, so the whole pass is a few
@@ -187,3 +188,76 @@ def sample_light_dirs(
     pdf = jnp.where(is_rect, pdf_rect, pdf_sph) / L
     valid = jnp.where(is_rect, valid_rect, valid_sph)
     return wi, dist, pdf, idx, valid
+
+
+def light_dir_pdf(
+    lights: LightTable, point: jnp.ndarray, wd: jnp.ndarray
+) -> jnp.ndarray:
+    """Density with which :func:`sample_light_dirs` would generate ``wd``.
+
+    Evaluated for the NEAREST table light along ``wd`` — the emitter a
+    BSDF-sampled ray actually lands on — including the uniform 1/L light
+    choice; 0 where no table light lies along ``wd`` (sky, or an emitter
+    the sampler cannot produce, whose emission must then ride the BSDF
+    estimator at full weight). This is the light-strategy pdf in the MIS
+    power heuristic (``render/integrator.py``); keeping it per-nearest-
+    light (not the L-mixture) matches the estimator's partition of the
+    integrand by sampled light, so the two strategies' weights sum to 1
+    per emitting surface point.
+
+    ``point``: [R, 3]; ``wd``: [R, 3] unit directions. Returns [R] f32.
+    Vectorized [R, L] over the (tiny, static) light table.
+    """
+    pt = point[:, None, :]                                           # [R,1,3]
+    w = wd[:, None, :]
+
+    # --- sphere lights: inside the visible cone <=> the ray hits the cap
+    c = lights.center[None, :, :]                                    # [1,L,3]
+    r = lights.radius[None, :]
+    to_c = c - pt                                                    # [R,L,3]
+    d2 = jnp.sum(to_c * to_c, axis=-1)
+    outside = d2 > r * r * (1.0 + 1e-4)
+    sin2_max = jnp.clip(r * r / jnp.maximum(d2, 1e-12), 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    cos_ray = jnp.sum(w * to_c, axis=-1)                             # d*cos
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    in_cone = cos_ray > cos_max * d
+    solid_angle = 2.0 * jnp.pi * (1.0 - cos_max)
+    pdf_sph = 1.0 / jnp.maximum(solid_angle, 1e-12)
+    disc = jnp.maximum(cos_ray * cos_ray - (d2 - r * r), 0.0)
+    t_sph = cos_ray - jnp.sqrt(disc)
+    hit_sph = outside & in_cone & (solid_angle > 1e-9) & (t_sph > 1e-4)
+
+    # --- rect lights: plane crossing inside the bounds (double-sided)
+    ax = lights.axis                                                 # [L]
+    oh = (jnp.arange(3)[None, :] == ax[:, None]).astype(point.dtype)  # [L,3]
+    a_oh = (jnp.arange(3)[None, :] == jnp.asarray(_RECT_AXES)[ax, 0][:, None]).astype(point.dtype)
+    b_oh = (jnp.arange(3)[None, :] == jnp.asarray(_RECT_AXES)[ax, 1][:, None]).astype(point.dtype)
+    w_n = jnp.sum(w * oh[None, :, :], axis=-1)                       # [R,L]
+    p_n = jnp.sum(pt * oh[None, :, :], axis=-1)
+    t_rect = (lights.k[None, :] - p_n) / jnp.where(
+        jnp.abs(w_n) > 1e-9, w_n, 1e-9
+    )
+    hp = pt + w * t_rect[..., None]                                  # [R,L,3]
+    pa = jnp.sum(hp * a_oh[None, :, :], axis=-1)
+    pb = jnp.sum(hp * b_oh[None, :, :], axis=-1)
+    lo_a = jnp.minimum(lights.a0, lights.a1)[None, :]
+    hi_a = jnp.maximum(lights.a0, lights.a1)[None, :]
+    lo_b = jnp.minimum(lights.b0, lights.b1)[None, :]
+    hi_b = jnp.maximum(lights.b0, lights.b1)[None, :]
+    in_rect = (pa >= lo_a) & (pa <= hi_a) & (pb >= lo_b) & (pb <= hi_b)
+    area = jnp.abs((lights.a1 - lights.a0) * (lights.b1 - lights.b0))[None, :]
+    cos_l = jnp.abs(w_n)
+    pdf_rect = (t_rect * t_rect) / jnp.maximum(cos_l * area, 1e-9)
+    hit_rect = in_rect & (t_rect > 1e-4) & (cos_l > 1e-6) & (area > 1e-12)
+
+    is_rect = (lights.kind == 1)[None, :]
+    hit = jnp.where(is_rect, hit_rect, hit_sph)                      # [R,L]
+    t = jnp.where(is_rect, t_rect, t_sph)
+    pdf = jnp.where(is_rect, pdf_rect, pdf_sph)
+
+    t = jnp.where(hit, t, jnp.inf)
+    nearest = jnp.argmin(t, axis=-1)                                 # [R]
+    any_hit = jnp.any(hit, axis=-1)
+    pdf_near = jnp.take_along_axis(pdf, nearest[:, None], axis=-1)[:, 0]
+    return jnp.where(any_hit, pdf_near / lights.count, 0.0)

@@ -59,10 +59,13 @@ class WavefrontState(NamedTuple):
     throughput: jnp.ndarray  # [R, 3]
     alive: jnp.ndarray       # [R] bool
     ray_count: jnp.ndarray   # [] i32 — traced ray segments (Mrays metric)
-    # True where the previous vertex already estimated its direct light by
-    # NEE: primitive emission hit by this lane's BSDF ray must not be
-    # double-counted (sky is unaffected — NEE never samples it)
-    suppress_emit: jnp.ndarray  # [R] bool
+    # MIS weight on this lane's next primitive-emission hit (1 = full).
+    # Where the previous vertex ran NEE, the two direct-light strategies
+    # (light sampling / BSDF sampling) split ownership of that emission by
+    # the power heuristic; this carries the BSDF side's share. 1.0 when no
+    # NEE ran, and for emitters outside the light table (sky included —
+    # the sampler never produces either, so BSDF owns them fully).
+    emit_scale: jnp.ndarray  # [R] f32
 
 
 def _bounce(
@@ -84,11 +87,15 @@ def _bounce(
     and sky terms accumulate as ``radiance += throughput * term``.
 
     ``nee_lights`` (a :class:`~pathtrace_tpu.ops.lights.LightTable`) turns
-    on next-event estimation: diffuse vertices (lambertian/isotropic) cast
-    one shadow ray at a sampled light and suppress primitive emission on
-    their next BSDF hit, keeping the combined estimator unbiased with far
-    lower variance on light-driven scenes than the reference's BSDF-only
-    integration (src/scene.rs:58-66).
+    on next-event estimation with MIS: diffuse vertices (lambertian/
+    isotropic) cast one shadow ray at a sampled light, and the light-sample
+    and BSDF-sample contributions are combined by the power heuristic
+    (Veach '97) — ``emit_scale`` carries the BSDF side's share to the next
+    hit. Unbiased, with far lower variance on light-driven scenes than the
+    reference's BSDF-only integration (src/scene.rs:58-66), and robust at
+    BOTH extremes (small lights: light sampling dominates; large close
+    lights: BSDF sampling dominates) where plain NEE-with-suppression
+    degrades on the latter.
     """
     kb = jax.random.fold_in(key, state.depth)
     med_u = None
@@ -114,15 +121,16 @@ def _bounce(
     sky = sky_color(scene, state.rd)
     emitted = sc.emitted
     if nee_lights is not None:
-        # the previous vertex already owned this emission via its NEE sample
-        emitted = jnp.where(state.suppress_emit[..., None],
-                            jnp.zeros_like(emitted), emitted)
+        # the previous vertex's NEE sample owns (1 - emit_scale) of this
+        # emission; the sky is untouched (the light sampler never hits it)
+        emitted = emitted * state.emit_scale[..., None]
     emit_term = jnp.where(rec.hit[..., None], emitted, sky)
     radiance = state.radiance + state.throughput * emit_term * alive_f
 
     can_scatter = state.alive & rec.hit & sc.ok & (state.depth < max_depth)
 
-    suppress_next = state.time != state.time  # varying all-False
+    # NaN-safe varying all-ones (time*0 would be NaN on NaN-padded lanes)
+    emit_scale_next = (state.time == state.time).astype(state.ro.dtype)
     shadow_rays = jnp.int32(0)
     if nee_lights is not None:
         from pathtrace_tpu.models.types import MAT_ISOTROPIC, MAT_LAMBERTIAN
@@ -183,16 +191,35 @@ def _bounce(
             sc.attenuation * (cos_s * inv_pi)[..., None],
             sc.attenuation * (0.25 * inv_pi),
         )
-        contrib = state.throughput * f_term * le / jnp.maximum(
-            lpdf, 1e-12
+        # MIS power heuristic between the two direct-light strategies.
+        # The BSDF-strategy density of a direction is the scatter pdf:
+        # cosine-weighted cos/pi for lambertian (normal + unit vector,
+        # reference src/material.rs:52-67), uniform 1/(4pi) for isotropic.
+        p_b_nee = jnp.where(is_lam, cos_s * inv_pi, 0.25 * inv_pi)
+        w_light = lpdf * lpdf / jnp.maximum(
+            lpdf * lpdf + p_b_nee * p_b_nee, 1e-20
+        )
+        contrib = state.throughput * f_term * le * (
+            w_light / jnp.maximum(lpdf, 1e-12)
         )[..., None]
         radiance = radiance + jnp.where(
             (nee_mask & unoccluded)[..., None], contrib,
             jnp.zeros_like(contrib),
         )
-        # emission at the lane's NEXT hit is owned by this sample whether
-        # or not the shadow ray was occluded
-        suppress_next = nee_mask
+        # BSDF side of the split: weight the emission this lane's scattered
+        # ray will hit by p_bsdf^2/(p_bsdf^2 + p_light^2), where p_light is
+        # the density with which the light sampler would have produced that
+        # same direction from this vertex (0 off the table -> weight 1).
+        # Applies whether or not the shadow ray was occluded.
+        cos_b = jnp.maximum(jnp.sum(sc.direction * safe_n, axis=-1), 0.0)
+        p_b_next = jnp.where(is_lam, cos_b * inv_pi, 0.25 * inv_pi)
+        p_l_next = plights.light_dir_pdf(nee_lights, safe_p, sc.direction)
+        w_bsdf = p_b_next * p_b_next / jnp.maximum(
+            p_b_next * p_b_next + p_l_next * p_l_next, 1e-20
+        )
+        emit_scale_next = jnp.where(
+            nee_mask & (p_l_next > 0.0), w_bsdf, emit_scale_next
+        )
         shadow_rays = jnp.sum(nee_mask, dtype=jnp.int32)
 
     cs = can_scatter[..., None]
@@ -229,7 +256,7 @@ def _bounce(
         alive=can_scatter,
         ray_count=state.ray_count
         + jnp.sum(state.alive, dtype=jnp.int32) + shadow_rays,
-        suppress_emit=suppress_next,
+        emit_scale=emit_scale_next,
     )
 
 
@@ -247,7 +274,7 @@ def _initial_state(ro, rd, time) -> WavefrontState:
         alive=time == time,  # True unless NaN-padded (born-dead lanes)
         # NaN-safe varying zero (sum(time*0) would be NaN for padded lanes)
         ray_count=jnp.sum((time == time).astype(jnp.int32)) * 0,
-        suppress_emit=time != time,  # varying all-False
+        emit_scale=(time == time).astype(ro.dtype),  # varying all-ones
     )
 
 

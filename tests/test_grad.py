@@ -170,3 +170,69 @@ class TestMaterialGrad:
         assert np.isfinite(g_auto)
         # marble texture is high-frequency; allow a loose but meaningful match
         assert g_auto == pytest.approx(g_fd, rel=0.2, abs=1e-3)
+
+
+class TestCameraGrad:
+    """The camera is a differentiable lens model (BASELINE.json north star:
+    'camera/DoF sampling -> batched differentiable lens model'): pixel
+    gradients must flow through make_camera's basis construction and
+    get_ray's lens/film arithmetic to the user-facing camera parameters."""
+
+    def test_lookfrom_z(self):
+        key = jax.random.PRNGKey(5)
+
+        def loss_of_z(z):
+            lookfrom = jnp.stack([jnp.float32(0.0), jnp.float32(0.0), z])
+            cam_args = (lookfrom, (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                        40.0, 1.0, 0.0, 3.0)
+            scene = full_view_sphere_scene()
+            return render_loss(scene, cam_args, SceneFeatures.from_scene(scene), key)
+
+        z0 = jnp.float32(3.0)
+        g_auto = float(jax.grad(loss_of_z)(z0))
+        g_fd = float(fd_grad(loss_of_z, z0, 1e-3))
+        assert np.isfinite(g_auto)
+        assert g_auto == pytest.approx(g_fd, rel=0.05, abs=1e-4)
+
+    def test_vfov(self):
+        key = jax.random.PRNGKey(6)
+
+        def loss_of_fov(fov):
+            cam_args = ((0.0, 0.0, 3.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                        fov, 1.0, 0.0, 3.0)
+            scene = full_view_sphere_scene()
+            return render_loss(scene, cam_args, SceneFeatures.from_scene(scene), key)
+
+        f0 = jnp.float32(40.0)
+        g_auto = float(jax.grad(loss_of_fov)(f0))
+        g_fd = float(fd_grad(loss_of_fov, f0, 1e-2))
+        assert np.isfinite(g_auto)
+        assert g_auto == pytest.approx(g_fd, rel=0.05, abs=1e-4)
+
+    def test_defocus_aperture(self):
+        # thin-lens defocus: the aperture-disk offset is reparameterized
+        # (fixed uniforms scale with the lens radius), so d(loss)/d(aperture)
+        # is a smooth interior gradient. Blur preserves the image MEAN to
+        # first order, so the sensitive statistic is the second moment of a
+        # textured (smooth marble-noise) defocused sphere.
+        from pathtrace_tpu.camera import make_camera
+
+        key = jax.random.PRNGKey(7)
+        b = SceneBuilder()
+        b.sphere((0.0, 0.0, -4.0), 4.0, b.lambertian(b.noise_texture(2.0)))
+        scene = b.finish()
+        feats = SceneFeatures.from_scene(scene)
+
+        def loss_of_ap(ap):
+            cam = make_camera((0.0, 0.0, 3.0), (0.0, 0.0, 0.0),
+                              (0.0, 1.0, 0.0), 40.0, 1.0, ap, 5.0)
+            img, _ = render_frame(scene, cam, 24, 24, 4, 3, key,
+                                  differentiable=True, features=feats)
+            return jnp.mean(img * img)
+
+        a0 = jnp.float32(0.4)
+        g_auto = float(jax.grad(loss_of_ap)(a0))
+        g_fd = float(fd_grad(loss_of_ap, a0, 1e-3))
+        assert np.isfinite(g_auto)
+        assert abs(g_auto) > 1e-4  # blur actually moves the second moment
+        assert g_auto == pytest.approx(g_fd, rel=0.05, abs=1e-4)

@@ -33,7 +33,7 @@ def run_frames(scene, camera, w, h, spp, depth, features, n_frames,
     """Render n_frames, accumulate, time to readback. Returns (secs, rays)."""
     import jax
 
-    total_rays = 0
+    total_rays = None
     acc = None
     if use_bvh:
         from pathtrace_tpu.models import bvh as pbvh
@@ -62,9 +62,11 @@ def run_frames(scene, camera, w, h, spp, depth, features, n_frames,
                 scene_d, camera, w, h, spp, depth, key, f + 1, features,
             )
         acc = img if acc is None else acc + img
-        total_rays += int(rays)
+        # keep the count on device: a per-frame int() readback is a full
+        # tunnel round trip and serializes the frame pipeline (PERF.md)
+        total_rays = rays if total_rays is None else total_rays + rays
     np.asarray(acc)  # true completion barrier
-    return time.perf_counter() - t0, total_rays
+    return time.perf_counter() - t0, int(total_rays)
 
 
 def measure(name, preset, w, h, spp_total, spp_frame, depth, use_bvh=False):
