@@ -148,21 +148,32 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _machine_fingerprint() -> str:
-    """Hash of the host CPU feature flags.
+    """Hash of the host CPU identity (model/family/stepping/microcode/flags).
 
     XLA:CPU AOT executables are machine-specific but JAX's cache key does
     not fully capture host CPU features; on infrastructure where the host
     behind the container rotates, loading another machine's cached CPU
     executable can SIGILL/segfault (observed). CPU cache entries therefore
-    live in a per-machine subdir.
+    live in a per-machine subdir. The flags line ALONE is not enough — two
+    host epochs with identical flags still produced a cache entry that
+    segfaulted the test suite inside ``backend_compile_and_load``
+    (observed 2026-08-19) — so every identity line of the first processor
+    block goes into the hash.
     """
     import hashlib
 
+    keys = ("vendor_id", "cpu family", "model", "model name", "stepping",
+            "microcode", "cache size", "flags")
     try:
+        lines = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                if not line.strip():
+                    break  # first processor block only
+                if line.split(":")[0].strip() in keys:
+                    lines.append(line)
+        if lines:
+            return hashlib.sha1("".join(lines).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform

@@ -1,0 +1,81 @@
+"""Sweep the fast-path frame chunk size on the headline workload.
+
+Motivation (measured, 2026-08-19 epoch): the fused bounce's per-LANE cost
+is nonlinear in wavefront size — ~31 ms/1M-lane marginal at a 3.7M
+wavefront vs 14.2 ms/1M at 1M (tools/ladder_trace.py vs
+tools/bounce_breakdown.py) — and the two-tier ladder's row tier stops
+compacting once deaths scatter (every 128-lane row keeps >=1 live lane),
+so tail bounces run at multi-M sizes. Chunking the frame into ~1M-ray
+sub-wavefronts keeps every dispatch on the cheap side of the curve and
+lets the lane tier engage, while cross-chunk pipelining hides the extra
+dispatches (~1-3.5 ms each when queued, tools/dispatch_probe.py).
+
+Times the bench.py 6-frame sustained burst per chunk size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    from pathtrace_tpu.cli import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
+    from pathtrace_tpu.models import presets
+    from pathtrace_tpu.models.types import SceneFeatures
+    from pathtrace_tpu.ops import fastpath as fp
+
+    W, H, S, D = 1280, 720, 4, 10
+    scene, cam = presets.random_spheres(aspect=W / H)
+    features = SceneFeatures.from_scene(scene)
+    scene = jax.device_put(scene)
+
+    chunks = [int(a) for a in sys.argv[1:]] or [
+        1 << 22, 1 << 21, 1 << 20, 1 << 19,
+    ]
+
+    orig = fp.frame_chunk
+    for chunk in chunks:
+        fp.frame_chunk = lambda f, _c=chunk: _c
+        try:
+            def run(f):
+                return fp.render_frame_fast(
+                    scene, cam, W, H, S, D, jax.random.PRNGKey(f), f,
+                    features,
+                )
+
+            img, rays = run(0)
+            np.asarray(img)
+            acc = None
+            total = None
+            t0 = time.perf_counter()
+            for f in range(1, 7):
+                img, rays = run(f)
+                acc = img if acc is None else acc + img
+                total = rays if total is None else total + rays
+            np.asarray(acc)
+            dt = time.perf_counter() - t0
+            mrays = int(total) / 1e6 / dt
+            print(json.dumps({
+                "chunk": chunk,
+                "mrays_s": round(mrays, 2),
+                "burst_s": round(dt, 2),
+            }), flush=True)
+        finally:
+            fp.frame_chunk = orig
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
