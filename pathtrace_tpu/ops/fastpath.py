@@ -1001,7 +1001,9 @@ def render_frame_fast(
 
     ``frame_key`` drives primary-ray jitter (Threefry); ``seed`` must be
     frame-unique and drives the per-bounce counter-hash RNG.
-    Returns (image [H, W, 3], ray_count int).
+    Returns (image [H, W, 3], ray_count as a DEVICE scalar — convert with
+    ``int()`` only outside hot loops; each conversion is a tunnel round
+    trip on this platform).
 
     Frames larger than FRAME_CHUNK rays are traced in chunks: XLA pads the
     minor dim of [R, 3] shading temps to full lane tiles, so a noise-texture
@@ -1081,29 +1083,6 @@ def trace_fast(
         # sublane-divisibility constraint (compaction rungs below 1024 are
         # powers of two and use whole-plane blocks)
         R0 = ro.shape[0]
-        Rp = ((R0 + 1023) // 1024) * 1024 if R0 >= 1024 else (
-            ((R0 + 127) // 128) * 128
-        )
-
-        def padp(x):
-            if Rp == R0:
-                return x
-            return jnp.concatenate(
-                [x, jnp.zeros((Rp - R0,) + x.shape[1:], x.dtype)]
-            )
-
-        state = FastStateP(
-            rox=padp(ro[:, 0]), roy=padp(ro[:, 1]), roz=padp(ro[:, 2]),
-            rdx=padp(rd[:, 0]), rdy=padp(rd[:, 1]), rdz=padp(rd[:, 2]),
-            time=padp(time),
-            rad_r=jnp.zeros(Rp, ro.dtype), rad_g=jnp.zeros(Rp, ro.dtype),
-            rad_b=jnp.zeros(Rp, ro.dtype),
-            thr_r=jnp.ones(Rp, ro.dtype), thr_g=jnp.ones(Rp, ro.dtype),
-            thr_b=jnp.ones(Rp, ro.dtype),
-            # padded lanes are born dead: they cost no rays and flush zeros
-            alive=jnp.arange(Rp) < R0,
-            lane=jnp.arange(lane_offset, lane_offset + Rp, dtype=jnp.uint32),
-        )
 
         prims = _scene_prims(scene, features)
         n_tiles = (scene.spheres.center.shape[0] + 127) // 128
@@ -1122,10 +1101,61 @@ def trace_fast(
                 cull_first=cull_scene and depth == 0,
             )
 
+        def make_state(lo, hi):
+            # pad to 1024-ray multiples so plane blocks satisfy the Mosaic
+            # sublane-divisibility constraint (compaction rungs below 1024
+            # are powers of two and use whole-plane blocks)
+            n = hi - lo
+            rp = ((n + 1023) // 1024) * 1024 if n >= 1024 else (
+                ((n + 127) // 128) * 128
+            )
+
+            def padp(x):
+                if rp == n:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.zeros((rp - n,) + x.shape[1:], x.dtype)]
+                )
+
+            return FastStateP(
+                rox=padp(ro[lo:hi, 0]), roy=padp(ro[lo:hi, 1]),
+                roz=padp(ro[lo:hi, 2]),
+                rdx=padp(rd[lo:hi, 0]), rdy=padp(rd[lo:hi, 1]),
+                rdz=padp(rd[lo:hi, 2]),
+                time=padp(time[lo:hi]),
+                rad_r=jnp.zeros(rp, ro.dtype), rad_g=jnp.zeros(rp, ro.dtype),
+                rad_b=jnp.zeros(rp, ro.dtype),
+                thr_r=jnp.ones(rp, ro.dtype), thr_g=jnp.ones(rp, ro.dtype),
+                thr_b=jnp.ones(rp, ro.dtype),
+                # padded lanes are born dead: no rays, flush zeros
+                alive=jnp.arange(rp) < n,
+                lane=jnp.arange(lane_offset + lo, lane_offset + lo + rp,
+                                dtype=jnp.uint32),
+            )
+
+        if compaction and R0 > INTERLEAVE_CHUNK:
+            # interleaved multi-chunk ladder: sub-wavefronts stay on the
+            # cheap side of the per-lane cost curve (PERF.md: ~14 ms/1M-lane
+            # marginal at 1M vs ~31 at 3.7M) and counts are consumed
+            # eagerly — the readback latency hides behind the other
+            # chunks' queued device work
+            bounds = [
+                (lo, min(lo + INTERLEAVE_CHUNK, R0))
+                for lo in range(0, R0, INTERLEAVE_CHUNK)
+            ]
+            chunk_states = [make_state(lo, hi) for lo, hi in bounds]
+            return _interleaved_ladder(
+                step, chunk_states, [hi - lo for lo, hi in bounds],
+                max_depth, max(min_size, 128), group,
+                radiance_fields=("rad_r", "rad_g", "rad_b"),
+            )
+
         # fused bounce graphs are small (no [R,3] fusion temps), so bounce
         # grouping is safe at every wavefront size
+        state = make_state(0, R0)
         out_radiance, ray_count = _host_ladder(
-            step, state, Rp, max_depth, max(min_size, 128), compaction, group,
+            step, state, state.alive.shape[0],
+            max_depth, max(min_size, 128), compaction, group,
             group_size_cap=None,
             radiance_fields=("rad_r", "rad_g", "rad_b"),
         )
@@ -1160,6 +1190,14 @@ def trace_fast(
 # at or below it, by exact lanes. Patchable for tests.
 LANE_COMPACT_MAX = 1 << 19
 
+# Fused-path wavefronts larger than this are traced as interleaved
+# sub-chunks (see _interleaved_ladder). The per-LANE fused-bounce cost is
+# nonlinear in wavefront size on this device (~14.2 ms/1M-lane marginal at
+# 1M lanes vs ~31 ms/1M at 3.7M — tools/ladder_trace.py, tools/
+# chunk_sweep.py), so sub-M chunks win even before scheduling effects.
+# Patchable for tests/sweeps.
+INTERLEAVE_CHUNK = 1 << 20
+
 # Static sphere scenes spanning at least this many 128-sphere tiles use the
 # in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.
 CULL_MIN_TILES = 8
@@ -1185,6 +1223,83 @@ def _alive_counts_jit(alive):
     return jnp.stack([lanes, rows])
 
 
+def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
+                        group, radiance_fields):
+    """Round-robin the compaction ladder over several sub-wavefront chunks.
+
+    Why this beats one big ladder on this platform (all measured —
+    tools/ladder_trace.py, tools/dispatch_probe.py, tools/chunk_sweep.py):
+
+    - the fused bounce's per-LANE cost is ~2x higher at 3.7M lanes than at
+      1M, so chunks of ~1M are cheaper per segment before any scheduling;
+    - dispatch SUBMISSION pipelines (~1-3.5 ms/call queued), so the extra
+      per-chunk dispatches are nearly free;
+    - alive-count readbacks are consumed EAGERLY (each chunk's next round
+      runs at its freshly compacted size — no stale full-width round as
+      with the single-ladder lag), and the readback's tunnel latency hides
+      behind the other chunks' already-queued device work;
+    - ray counts never leave the device: per-group segment counts are
+      collected and summed in one tiny program at the end, so the only
+      per-round readback is the 2-int count vector.
+
+    Returns ``(radiance [sum(chunk_r0s), 3], ray_count device scalar)``.
+    """
+    dtype = chunk_states[0].thr_r.dtype
+    chunks = []
+    for st, r0 in zip(chunk_states, chunk_r0s):
+        size = st.alive.shape[0]
+        chunks.append({
+            "state": st, "size": size, "r0": r0,
+            "out_rad": tuple(jnp.zeros(size, dtype) for _ in range(3)),
+            "indices": jnp.arange(size, dtype=jnp.int32),
+            "identity": True, "depth": 0, "pending": None,
+            "segs": [], "done": False,
+        })
+    # below this size a count readback costs more than just tracing the
+    # remaining bounces at the current size (tail rounds are ~ms)
+    count_skip = max(2 * min_size, 1 << 16)
+
+    while not all(c["done"] for c in chunks):
+        for c in chunks:
+            if c["done"]:
+                continue
+            if c["pending"] is not None:
+                lanes = int(np.asarray(c["pending"])[0])
+                c["pending"] = None
+                if lanes == 0:
+                    c["done"] = True
+                    continue
+                next_size = _rung(lanes, min_size)
+                if next_size <= int(c["size"] * 0.6):
+                    c["out_rad"], c["state"], c["indices"] = _compact(
+                        c["out_rad"], c["state"], c["indices"], next_size,
+                        radiance_fields=radiance_fields,
+                        identity=c["identity"],
+                    )
+                    c["size"] = next_size
+                    c["identity"] = False
+            g = min(group, max_depth + 1 - c["depth"])
+            c["state"], segs = step(c["state"], c["depth"], g)
+            c["segs"].append(segs)
+            c["depth"] += g
+            if c["depth"] > max_depth:
+                c["done"] = True
+            elif c["size"] > count_skip:
+                c["pending"] = _alive_counts_jit(c["state"].alive)
+
+    parts = []
+    all_segs = []
+    for c in chunks:
+        planes = _final_flush(c["out_rad"], c["state"], c["indices"],
+                              radiance_fields=radiance_fields,
+                              identity=c["identity"])
+        parts.append(jnp.stack(planes, axis=1)[:c["r0"]])
+        all_segs.extend(c["segs"])
+    radiance = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    ray_count = jnp.sum(jnp.stack(all_segs))
+    return radiance, ray_count
+
+
 def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                  group_size_cap, radiance_fields):
     """Host-driven bounce loop with the lagged-sync compaction ladder.
@@ -1206,20 +1321,20 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
     indices = jnp.arange(R, dtype=jnp.int32)
     identity = True  # indices untouched until the first compaction:
                      # flushes are dense adds, not scatters
-    ray_count = 0
+    segs_list = []   # device scalars; summed in ONE program at the end
+                     # (an int() per round would be a tunnel round trip)
     size = R
-    pending = None   # (device [lanes, rows] counts, device segs-in-group)
+    pending = None   # device [lanes, rows] counts, consumed one group late
     depth = 0
     while depth <= max_depth:
         g_mem = group if (group_size_cap is None or size <= group_size_cap) else 1
         g = min(g_mem, max_depth + 1 - depth)
         state, segs = step(state, depth, g)
+        segs_list.append(segs)
         depth += g
-        new_pending = (_alive_counts_jit(state.alive), segs)
+        new_pending = _alive_counts_jit(state.alive)
         if pending is not None:
-            lag_counts, lag_segs = pending
-            lag_lanes, lag_rows = (int(v) for v in np.asarray(lag_counts))
-            ray_count += int(lag_segs)
+            lag_lanes, lag_rows = (int(v) for v in np.asarray(pending))
             if lag_lanes == 0:
                 pending = None
                 break
@@ -1231,6 +1346,7 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                 # row gather, so it is near-dispatch-floor cheap and can
                 # run eagerly. Once small, the exact lane compaction
                 # (packed row-gather form) takes over.
+                next_size = _rung(lag_lanes, min_size)
                 if size > LANE_COMPACT_MAX and size % 128 == 0:
                     next_rows = _rung(lag_rows, max(min_size // 128, 1))
                     if next_rows * 128 <= int(size * 0.75):
@@ -1241,9 +1357,12 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                         )
                         size = next_rows * 128
                         identity = False
-                else:
-                    next_size = _rung(lag_lanes, min_size)
-                    if next_size <= int(size * 0.6):
+                    elif next_size <= int(size * 0.35):
+                        # rows can't shrink (deaths scattered: every
+                        # 128-lane row keeps a live lane) — a strong lane
+                        # shrink still pays even at multi-M sizes, and
+                        # without it the ladder is stuck at full width
+                        # for every remaining bounce
                         out_radiance, state, indices = _compact(
                             out_radiance, state, indices, next_size,
                             radiance_fields=radiance_fields,
@@ -1251,13 +1370,21 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                         )
                         size = next_size
                         identity = False
+                elif next_size <= int(size * 0.6):
+                    out_radiance, state, indices = _compact(
+                        out_radiance, state, indices, next_size,
+                        radiance_fields=radiance_fields,
+                        identity=identity,
+                    )
+                    size = next_size
+                    identity = False
         pending = new_pending
-    if pending is not None:
-        ray_count += int(pending[1])
 
     out_radiance = _final_flush(out_radiance, state, indices,
                                 radiance_fields=radiance_fields,
                                 identity=identity)
     if plane_out:
         out_radiance = jnp.stack(out_radiance, axis=1)
+    ray_count = (jnp.sum(jnp.stack(segs_list)) if len(segs_list) > 1
+                 else segs_list[0])
     return out_radiance, ray_count

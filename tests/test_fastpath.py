@@ -122,6 +122,39 @@ class TestParity:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
         assert ca == cb
 
+    def test_interleaved_ladder_bit_exact(self, monkeypatch):
+        """Force the interleaved multi-chunk ladder (normally > 1M lanes)
+        at test scale: results must be bit-identical to the single-chunk
+        uncompacted trace (lane-keyed RNG + at most one radiance emission
+        per lane make every schedule equivalent)."""
+        from pathtrace_tpu.ops import fastpath as fp
+
+        scene, cam = presets.small(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        ro, rd, tm = camera_rays(cam, 8192)
+        monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 2048)
+        a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats, min_size=128)
+        monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 1 << 20)
+        b, cb = trace_fast(scene, ro, rd, tm, 5, 8, feats, compaction=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(ca) == int(cb)
+
+    def test_interleaved_ladder_ragged_tail(self, monkeypatch):
+        """Non-multiple-of-chunk ray counts: the last chunk is smaller and
+        padded; the assembled radiance must still match lane for lane."""
+        from pathtrace_tpu.ops import fastpath as fp
+
+        scene, cam = presets.small(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        ro, rd, tm = camera_rays(cam, 5000)
+        monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 2048)
+        a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats, min_size=128)
+        monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 1 << 20)
+        b, cb = trace_fast(scene, ro, rd, tm, 5, 8, feats, compaction=False)
+        assert a.shape == b.shape == (5000, 3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(ca) == int(cb)
+
     def test_primary_cull_bit_exact_end_to_end(self, monkeypatch):
         """The depth-0 in-kernel tile cull (active for scenes >= 8 sphere
         tiles) must not change a single bit of the render."""
