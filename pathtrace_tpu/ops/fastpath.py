@@ -1193,10 +1193,12 @@ LANE_COMPACT_MAX = 1 << 19
 # Fused-path wavefronts larger than this are traced as interleaved
 # sub-chunks (see _interleaved_ladder). The per-LANE fused-bounce cost is
 # nonlinear in wavefront size on this device (~14.2 ms/1M-lane marginal at
-# 1M lanes vs ~31 ms/1M at 3.7M — tools/ladder_trace.py, tools/
-# chunk_sweep.py), so sub-M chunks win even before scheduling effects.
+# 1M lanes vs ~31 ms/1M at 3.7M — tools/ladder_trace.py), so sub-2M chunks
+# win even before scheduling effects. Swept on the headline frame
+# (tools/chunk_sweep.py, chunk:group): 2M:3 17.5 / 2M:4 17.0 / 1M:4 16.9 /
+# 1M:3 13.5 / 2M:2 12.9 / 1M:2 12.7 / 512k:3 12.5 Mrays/s.
 # Patchable for tests/sweeps.
-INTERLEAVE_CHUNK = 1 << 20
+INTERLEAVE_CHUNK = 1 << 21
 
 # Static sphere scenes spanning at least this many 128-sphere tiles use the
 # in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.

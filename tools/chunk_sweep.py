@@ -41,18 +41,24 @@ def main() -> int:
     features = SceneFeatures.from_scene(scene)
     scene = jax.device_put(scene)
 
-    chunks = [int(a) for a in sys.argv[1:]] or [
-        1 << 22, 1 << 21, 1 << 20, 1 << 19,
-    ]
+    # args: CHUNK or CHUNK:GROUP pairs (CHUNK = INTERLEAVE_CHUNK override)
+    combos = []
+    for a in sys.argv[1:]:
+        if ":" in a:
+            c, g = a.split(":")
+            combos.append((int(c), int(g)))
+        else:
+            combos.append((int(a), None))
+    combos = combos or [(1 << 21, None), (1 << 20, None), (1 << 19, None)]
 
-    orig = fp.frame_chunk
-    for chunk in chunks:
-        fp.frame_chunk = lambda f, _c=chunk: _c
+    orig = fp.INTERLEAVE_CHUNK
+    for chunk, grp in combos:
+        fp.INTERLEAVE_CHUNK = chunk
         try:
             def run(f):
                 return fp.render_frame_fast(
                     scene, cam, W, H, S, D, jax.random.PRNGKey(f), f,
-                    features,
+                    features, group=grp,
                 )
 
             img, rays = run(0)
@@ -69,11 +75,12 @@ def main() -> int:
             mrays = int(total) / 1e6 / dt
             print(json.dumps({
                 "chunk": chunk,
+                "group": grp,
                 "mrays_s": round(mrays, 2),
                 "burst_s": round(dt, 2),
             }), flush=True)
         finally:
-            fp.frame_chunk = orig
+            fp.INTERLEAVE_CHUNK = orig
     return 0
 
 
