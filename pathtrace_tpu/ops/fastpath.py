@@ -1200,6 +1200,13 @@ LANE_COMPACT_MAX = 1 << 19
 # Patchable for tests/sweeps.
 INTERLEAVE_CHUNK = 1 << 21
 
+# Interleaved-ladder chunks at or below this size stop reading alive
+# counts: a count readback is a full tunnel round trip (~27 ms), more than
+# tracing the remaining tail bounces at these sizes costs. Swept on the
+# headline frame: 256k 18.3 / 512k 18.0 / 64k 13.0 Mrays/s (same epoch).
+# Patchable.
+COUNT_SKIP_SIZE = 1 << 18
+
 # Static sphere scenes spanning at least this many 128-sphere tiles use the
 # in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.
 CULL_MIN_TILES = 8
@@ -1259,7 +1266,7 @@ def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
         })
     # below this size a count readback costs more than just tracing the
     # remaining bounces at the current size (tail rounds are ~ms)
-    count_skip = max(2 * min_size, 1 << 16)
+    count_skip = max(2 * min_size, COUNT_SKIP_SIZE)
 
     while not all(c["done"] for c in chunks):
         for c in chunks:
