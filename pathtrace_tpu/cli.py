@@ -192,6 +192,8 @@ def _enable_compilation_cache() -> None:
 
     import jax
 
+    if os.environ.get("PATHTRACE_DISABLE_JAX_CACHE"):
+        return
     cache_dir = os.environ.get(
         "PATHTRACE_JAX_CACHE", os.path.expanduser("~/.cache/pathtrace_tpu_jax")
     )

@@ -40,8 +40,14 @@ def _ensure_built() -> bool:
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    ``PATHTRACE_NO_NATIVE=1`` forces the numpy fallback (runtime control
+    and a bisection lever for in-process heap issues).
+    """
     global _lib, _load_failed
+    if os.environ.get("PATHTRACE_NO_NATIVE"):
+        return None
     if _lib is not None:
         return _lib
     if _load_failed:
