@@ -1139,9 +1139,15 @@ def trace_fast(
             # marginal at 1M vs ~31 at 3.7M) and counts are consumed
             # eagerly — the readback latency hides behind the other
             # chunks' queued device work
+            # balance chunk sizes (vs fixed-size chunks + remainder): the
+            # scheduler hides each chunk's readbacks behind the OTHERS'
+            # device work, so equal chunks keep every stage covered — and
+            # all chunks share ONE program shape instead of two
+            n_chunks = (R0 + INTERLEAVE_CHUNK - 1) // INTERLEAVE_CHUNK
+            per_chunk = (R0 + n_chunks - 1) // n_chunks
+            base = ((per_chunk + 1023) // 1024) * 1024
             bounds = [
-                (lo, min(lo + INTERLEAVE_CHUNK, R0))
-                for lo in range(0, R0, INTERLEAVE_CHUNK)
+                (lo, min(lo + base, R0)) for lo in range(0, R0, base)
             ]
             chunk_states = [make_state(lo, hi) for lo, hi in bounds]
             return _interleaved_ladder(

@@ -18,3 +18,21 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    past ~180 tests the NEXT compile segfaults inside LLVM
+    (backend_compile_and_load) — deterministic, independent of the
+    persistent compile cache and of the native ctypes library (bisected
+    2026-08-19). Dropping executable references per module keeps the
+    process under the trigger volume; cross-module shared shapes
+    recompile, which is seconds on CPU.
+    """
+    yield
+    jax.clear_caches()
