@@ -122,6 +122,38 @@ class TestParity:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
         assert ca == cb
 
+    def test_lane_fallback_above_row_tier_bit_exact(self, monkeypatch):
+        """When deaths scatter, every 128-lane row keeps a live lane and
+        the row tier can't shrink; the ladder must fall back to a lane
+        compaction (>=~3x shrink) instead of staying at full width —
+        and stay bit-identical. camera_rays directions are random, so
+        deaths scatter naturally."""
+        from pathtrace_tpu.ops import fastpath as fp
+        from pathtrace_tpu.render import compact_util as cu
+
+        lane_compacts = []
+        orig_compact = cu.compact
+
+        def spy(out_rad, state, indices, next_size, **kw):
+            lane_compacts.append((state.alive.shape[0], next_size))
+            return orig_compact(out_rad, state, indices, next_size, **kw)
+
+        monkeypatch.setattr(fp, "LANE_COMPACT_MAX", 512)
+        monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 1 << 20)  # single chunk
+        monkeypatch.setattr(fp, "_compact", spy)
+        scene, cam = presets.small(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        ro, rd, tm = camera_rays(cam, 8192)
+        a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats, min_size=128)
+        assert any(size > 512 for size, _ in lane_compacts), (
+            "lane fallback above LANE_COMPACT_MAX never fired", lane_compacts
+        )
+        monkeypatch.setattr(fp, "_compact", orig_compact)
+        monkeypatch.setattr(fp, "LANE_COMPACT_MAX", 1 << 19)
+        b, cb = trace_fast(scene, ro, rd, tm, 5, 8, feats, compaction=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(ca) == int(cb)
+
     def test_interleaved_ladder_bit_exact(self, monkeypatch):
         """Force the interleaved multi-chunk ladder (normally > 1M lanes)
         at test scale: results must be bit-identical to the single-chunk
