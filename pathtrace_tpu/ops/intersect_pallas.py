@@ -8,11 +8,17 @@ broadcasts ONE ray across 8 sphere lanes, the TPU broadcasts a BLOCK of rays
 min, exactly the vectorized analog of the AVX2 ``blend + hmin + cttz``
 epilogue (``spheres_soa.rs:354-368``).
 
-Layout: rays live in sublanes as ``[R, 1]`` component columns; sphere SoA
-lives fully VMEM-resident as ``[1, N]`` rows (the whole-scene working set at
-N=512 is ~14 KB — nothing like it fits in CPU L1, which is why the reference
-had to tile; here the scene rides VMEM across every ray block). Grid steps
-over ray blocks; Mosaic pipelines the ray-column DMAs against compute.
+Layout: rays live in LANES as ``(1, TILE_R)`` rows of an ``[R/512, 512]``
+plane (contiguous reshape of the wavefront plane — tiles HBM with no
+padding); sphere SoA components are ``[N, 1]`` sublane columns, one
+``(TILE_N, 1)`` tile per grid step. The pairwise quadratic is a
+``[TILE_N, TILE_R]`` broadcast and the per-ray winner a sublane
+min/argmin. Grid = (ray blocks, sphere tiles) with the tile axis minor:
+the output block is revisited across tiles and carries the running min.
+(The original orientation — rays in sublanes as ``[R, 1]`` columns — made
+XLA materialize every ray operand 128x padded in T(8,128) tiling: 2 GB
+per operand at 4M rays, an HBM OOM past 3.7M and the source of the
+apparent wavefront-size nonlinearity; tools/size_curve.py.)
 
 Assumes unit-length ray directions (the integrator maintains |d| == 1
 wavefront-wide), so the quadratic's ``a`` term is 1.
@@ -33,40 +39,57 @@ from pathtrace_tpu.models.types import Spheres
 _INF = float(MAX_T)  # python float: jnp scalars would be captured as consts
                      # by pallas kernel tracing
 
-TILE_R = 512   # rays per grid step (sublane axis); 1024 exceeds scoped VMEM
-TILE_N = 128   # spheres per inner step (lane axis)
+TILE_R = 512   # rays per lane row (the pairwise tile's lane extent)
+TILE_N = 128   # spheres per tile (sublane axis of the pairwise tile)
+SUB_B = 8      # ray rows per block: Mosaic requires sublane block dims
+               # divisible by 8, so a grid step carries SUB_B x TILE_R rays
+               # and sweeps them as SUB_B unrolled (TILE_N, TILE_R) tiles
+BLOCK_R = SUB_B * TILE_R  # rays per grid step (4096)
 
 
 def _kernel_static(
     rox, roy, roz, rdx, rdy, rdz,
     cx, cy, cz, cc_m_r2, mask,
     t_out, i_out,
-    *, n_tiles: int, t_min: float, t_max: float,
+    *, t_min: float, t_max: float,
 ):
-    """Static-sphere kernel body.
+    """Static-sphere kernel body (one sphere TILE per grid step).
 
-    Per-ray precomputation is hoisted; the inner loop is pure VPU work on
-    [TILE_R, TILE_N] tiles: b = ro.d - c.d ; c = |ro|^2 - 2 ro.c + (|c|^2-r^2);
-    disc = b^2 - c ; two-root select; running (t, idx) min.
+    Rays ride the LANE axis as (SUB_B, TILE_R) row blocks, spheres the
+    SUBLANE axis as (TILE_N, 1) columns; each of the SUB_B ray rows is
+    swept as a [TILE_N, TILE_R] pairwise quadratic tile (unrolled python
+    loop) and the per-ray winner is a sublane min/argmin. Grid =
+    (ray blocks, sphere tiles) with the tile axis minor: the output block
+    is revisited across tiles and accumulates the running (t, idx) min.
+    This orientation keeps every HBM operand UNPADDED — the previous
+    [R, 1] ray columns were materialized by XLA in T(8,128) tiling, a
+    128x padding (2 GB per operand at 4M rays, OOM at 3.7M+;
+    tools/size_curve.py found it as the wavefront-size nonlinearity).
     """
-    ro_x, ro_y, ro_z = rox[:], roy[:], roz[:]            # [TILE_R, 1]
+    k = pl.program_id(1)
+    ro_x, ro_y, ro_z = rox[:], roy[:], roz[:]            # (SUB_B, TILE_R)
     rd_x, rd_y, rd_z = rdx[:], rdy[:], rdz[:]
-    ro_d = ro_x * rd_x + ro_y * rd_y + ro_z * rd_z       # [TILE_R, 1]
+    ro_d = ro_x * rd_x + ro_y * rd_y + ro_z * rd_z       # (SUB_B, TILE_R)
     ro_ro = ro_x * ro_x + ro_y * ro_y + ro_z * ro_z
 
-    def tile_step(k, carry):
-        best_t, best_i = carry
-        sl = pl.ds(k * TILE_N, TILE_N)
-        scx = cx[0:1, sl]                                # [1, TILE_N]
-        scy = cy[0:1, sl]
-        scz = cz[0:1, sl]
-        sc2 = cc_m_r2[0:1, sl]
-        smask = mask[0:1, sl]
+    scx, scy, scz = cx[:], cy[:], cz[:]                  # (TILE_N, 1)
+    sc2 = cc_m_r2[:]
+    smask = mask[:] > 0
 
-        b = ro_d - (scx * rd_x + scy * rd_y + scz * rd_z)     # [TILE_R, TILE_N]
-        c = ro_ro - 2.0 * (scx * ro_x + scy * ro_y + scz * ro_z) + sc2
+    @pl.when(k == 0)
+    def _():
+        t_out[:] = jnp.full((SUB_B, TILE_R), _INF, jnp.float32)
+        i_out[:] = jnp.zeros((SUB_B, TILE_R), jnp.int32)
+
+    mins, args = [], []
+    for j in range(SUB_B):
+        sj = slice(j, j + 1)
+        b = ro_d[sj] - (scx * rd_x[sj] + scy * rd_y[sj] + scz * rd_z[sj])
+        c = (ro_ro[sj]
+             - 2.0 * (scx * ro_x[sj] + scy * ro_y[sj] + scz * ro_z[sj])
+             + sc2)                                      # (TILE_N, TILE_R)
         disc = b * b - c
-        valid = (disc > 0.0) & (smask > 0)
+        valid = (disc > 0.0) & smask
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t0 = -b - sq
         t1 = -b + sq
@@ -74,20 +97,15 @@ def _kernel_static(
         t1_ok = valid & (t1 > t_min) & (t1 < t_max)
         t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, _INF))
 
-        tile_min = jnp.min(t, axis=1, keepdims=True)          # [TILE_R, 1]
-        tile_arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-        better = tile_min < best_t
-        best_t = jnp.where(better, tile_min, best_t)
-        best_i = jnp.where(better, k * TILE_N + tile_arg, best_i)
-        return best_t, best_i
+        mins.append(jnp.min(t, axis=0, keepdims=True))   # (1, TILE_R)
+        args.append(jnp.argmin(t, axis=0).astype(jnp.int32)[None, :])
 
-    init = (
-        jnp.full((TILE_R, 1), _INF, jnp.float32),
-        jnp.zeros((TILE_R, 1), jnp.int32),
-    )
-    best_t, best_i = jax.lax.fori_loop(0, n_tiles, tile_step, init)
-    t_out[:] = best_t
-    i_out[:] = best_i
+    tile_min = jnp.concatenate(mins, axis=0)             # (SUB_B, TILE_R)
+    tile_arg = jnp.concatenate(args, axis=0)
+    cur_t = t_out[:]
+    better = tile_min < cur_t
+    t_out[:] = jnp.where(better, tile_min, cur_t)
+    i_out[:] = jnp.where(better, k * TILE_N + tile_arg, i_out[:])
 
 
 def _kernel_static_culled(
@@ -95,22 +113,24 @@ def _kernel_static_culled(
     cx, cy, cz, cc_m_r2, mask,
     tlx, tly, tlz, thx, thy, thz,
     t_out, i_out,
-    best_t_ref, best_i_ref,
-    *, n_tiles: int, t_min: float, t_max: float,
+    *, t_min: float, t_max: float,
 ):
     """Static kernel with per-tile AABB culling — the in-kernel BVH level.
 
     Each 128-sphere tile carries a conservative AABB (SMEM scalars). Before
-    running a tile's [TILE_R x TILE_N] quadratic sweep, every ray slab-tests
+    running a tile's [TILE_N x TILE_R] quadratic sweep, every ray slab-tests
     the tile box against its RUNNING best t; if no ray in the block can
     improve inside the box, the whole tile body is skipped via ``pl.when``
     (a real scf.if — the VPU work never issues). This is the TPU analog of
     a 2-level BVH: node tests are per-(ray-block x tile) and amortize over
     TILE_R * TILE_N lane-ops of skipped leaf work. Skips are conservative
     (sphere ⊆ tile box, eps-padded at build), so results are bit-identical
-    to :func:`_kernel_static`.
+    to :func:`_kernel_static`. Same rays-in-lanes layout and accumulating
+    output blocks as :func:`_kernel_static`; the running best lives in the
+    revisited output block.
     """
-    ro_x, ro_y, ro_z = rox[:], roy[:], roz[:]            # [TILE_R, 1]
+    k = pl.program_id(1)
+    ro_x, ro_y, ro_z = rox[:], roy[:], roz[:]            # (SUB_B, TILE_R)
     rd_x, rd_y, rd_z = rdx[:], rdy[:], rdz[:]
     ro_d = ro_x * rd_x + ro_y * rd_y + ro_z * rd_z
     ro_ro = ro_x * ro_x + ro_y * ro_y + ro_z * ro_z
@@ -125,8 +145,10 @@ def _kernel_static_culled(
     par_y = jnp.abs(rd_y) <= eps
     par_z = jnp.abs(rd_z) <= eps
 
-    best_t_ref[:] = jnp.full((TILE_R, 1), _INF, jnp.float32)
-    best_i_ref[:] = jnp.zeros((TILE_R, 1), jnp.int32)
+    @pl.when(k == 0)
+    def _():
+        t_out[:] = jnp.full((SUB_B, TILE_R), _INF, jnp.float32)
+        i_out[:] = jnp.zeros((SUB_B, TILE_R), jnp.int32)
 
     def axis_interval(lo, hi, o, inv, par):
         t0 = (lo - o) * inv
@@ -139,54 +161,50 @@ def _kernel_static_culled(
         tx = jnp.where(par, jnp.where(inside, big, -big), tx)
         return tn, tx
 
-    def tile_step(k, carry):
-        lox, loy, loz = tlx[k], tly[k], tlz[k]
-        hix, hiy, hiz = thx[k], thy[k], thz[k]
-        tnx, txx = axis_interval(lox, hix, ro_x, inv_x, par_x)
-        tny, txy = axis_interval(loy, hiy, ro_y, inv_y, par_y)
-        tnz, txz = axis_interval(loz, hiz, ro_z, inv_z, par_z)
-        tenter = jnp.maximum(jnp.maximum(tnx, tny), tnz)
-        texit = jnp.minimum(jnp.minimum(txx, txy), txz)
-        cur = best_t_ref[:]
-        want = (
-            (texit >= tenter) & (texit > t_min)
-            & (tenter < jnp.minimum(cur, t_max))
-        )
-        any_want = jnp.sum(want.astype(jnp.float32)) > 0.0
+    lox, loy, loz = tlx[k], tly[k], tlz[k]
+    hix, hiy, hiz = thx[k], thy[k], thz[k]
+    tnx, txx = axis_interval(lox, hix, ro_x, inv_x, par_x)
+    tny, txy = axis_interval(loy, hiy, ro_y, inv_y, par_y)
+    tnz, txz = axis_interval(loz, hiz, ro_z, inv_z, par_z)
+    tenter = jnp.maximum(jnp.maximum(tnx, tny), tnz)   # (SUB_B, TILE_R)
+    texit = jnp.minimum(jnp.minimum(txx, txy), txz)
+    cur = t_out[:]
+    want = (
+        (texit >= tenter) & (texit > t_min)
+        & (tenter < jnp.minimum(cur, t_max))
+    )
+    any_want = jnp.sum(want.astype(jnp.float32)) > 0.0
 
-        @pl.when(any_want)
-        def _():
-            sl = pl.ds(k * TILE_N, TILE_N)
-            scx = cx[0:1, sl]                            # [1, TILE_N]
-            scy = cy[0:1, sl]
-            scz = cz[0:1, sl]
-            sc2 = cc_m_r2[0:1, sl]
-            smask = mask[0:1, sl]
+    @pl.when(any_want)
+    def _():
+        scx, scy, scz = cx[:], cy[:], cz[:]              # (TILE_N, 1)
+        sc2 = cc_m_r2[:]
+        smask = mask[:] > 0
 
-            b = ro_d - (scx * rd_x + scy * rd_y + scz * rd_z)
-            c = ro_ro - 2.0 * (scx * ro_x + scy * ro_y + scz * ro_z) + sc2
+        mins, args = [], []
+        for j in range(SUB_B):
+            sj = slice(j, j + 1)
+            b = ro_d[sj] - (scx * rd_x[sj] + scy * rd_y[sj] + scz * rd_z[sj])
+            c = (ro_ro[sj]
+                 - 2.0 * (scx * ro_x[sj] + scy * ro_y[sj] + scz * ro_z[sj])
+                 + sc2)
             disc = b * b - c
-            valid = (disc > 0.0) & (smask > 0)
+            valid = (disc > 0.0) & smask
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
             t0 = -b - sq
             t1 = -b + sq
             t0_ok = valid & (t0 > t_min) & (t0 < t_max)
             t1_ok = valid & (t1 > t_min) & (t1 < t_max)
             t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, _INF))
+            mins.append(jnp.min(t, axis=0, keepdims=True))
+            args.append(jnp.argmin(t, axis=0).astype(jnp.int32)[None, :])
 
-            tile_min = jnp.min(t, axis=1, keepdims=True)
-            tile_arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-            cur_t = best_t_ref[:]
-            cur_i = best_i_ref[:]
-            better = tile_min < cur_t
-            best_t_ref[:] = jnp.where(better, tile_min, cur_t)
-            best_i_ref[:] = jnp.where(better, k * TILE_N + tile_arg, cur_i)
-
-        return carry
-
-    jax.lax.fori_loop(0, n_tiles, tile_step, 0)
-    t_out[:] = best_t_ref[:]
-    i_out[:] = best_i_ref[:]
+        tile_min = jnp.concatenate(mins, axis=0)         # (SUB_B, TILE_R)
+        tile_arg = jnp.concatenate(args, axis=0)
+        cur_t = t_out[:]
+        better = tile_min < cur_t
+        t_out[:] = jnp.where(better, tile_min, cur_t)
+        i_out[:] = jnp.where(better, k * TILE_N + tile_arg, i_out[:])
 
 
 def _kernel_moving(
@@ -194,7 +212,7 @@ def _kernel_moving(
     cx, cy, cz, cc_m_r2, mask,
     dx, dy, dz, st0, sinvdt, c_dot_d, d2,
     t_out, i_out,
-    *, n_tiles: int, t_min: float, t_max: float,
+    *, t_min: float, t_max: float,
 ):
     """Moving-sphere kernel: center lerped by per-ray time
     (reference src/collision/moving_sphere.rs:28-30).
@@ -204,60 +222,62 @@ def _kernel_moving(
       b     = ro.d - c0.d - s*(delta.d)
       cterm = |ro|^2 - 2 ro.c0 + (|c0|^2 - r^2) - 2 s (ro.delta)
               + 2 s (c0.delta) + s^2 |delta|^2
+    Same rays-in-lanes layout and grid as :func:`_kernel_static`.
     """
-    ro_x, ro_y, ro_z = rox[:], roy[:], roz[:]
+    k = pl.program_id(1)
+    ro_x, ro_y, ro_z = rox[:], roy[:], roz[:]            # (SUB_B, TILE_R)
     rd_x, rd_y, rd_z = rdx[:], rdy[:], rdz[:]
     tm = rtime[:]
     ro_d = ro_x * rd_x + ro_y * rd_y + ro_z * rd_z
     ro_ro = ro_x * ro_x + ro_y * ro_y + ro_z * ro_z
 
-    def tile_step(k, carry):
-        best_t, best_i = carry
-        sl = pl.ds(k * TILE_N, TILE_N)
-        scx, scy, scz = cx[0:1, sl], cy[0:1, sl], cz[0:1, sl]
-        sc2 = cc_m_r2[0:1, sl]
-        smask = mask[0:1, sl]
-        sdx, sdy, sdz = dx[0:1, sl], dy[0:1, sl], dz[0:1, sl]
-        t0s = st0[0:1, sl]
-        invdt = sinvdt[0:1, sl]
-        cdd = c_dot_d[0:1, sl]
-        sd2 = d2[0:1, sl]
+    scx, scy, scz = cx[:], cy[:], cz[:]                  # (TILE_N, 1)
+    sc2 = cc_m_r2[:]
+    smask = mask[:] > 0
+    sdx, sdy, sdz = dx[:], dy[:], dz[:]
+    t0s = st0[:]
+    invdt = sinvdt[:]
+    cdd = c_dot_d[:]
+    sd2 = d2[:]
 
-        s = (tm - t0s) * invdt                                # [TILE_R, TILE_N]
-        delta_dot_rd = sdx * rd_x + sdy * rd_y + sdz * rd_z
-        delta_dot_ro = sdx * ro_x + sdy * ro_y + sdz * ro_z
-        b = ro_d - (scx * rd_x + scy * rd_y + scz * rd_z) - s * delta_dot_rd
+    @pl.when(k == 0)
+    def _():
+        t_out[:] = jnp.full((SUB_B, TILE_R), _INF, jnp.float32)
+        i_out[:] = jnp.zeros((SUB_B, TILE_R), jnp.int32)
+
+    mins, args = [], []
+    for j in range(SUB_B):
+        sj = slice(j, j + 1)
+        s = (tm[sj] - t0s) * invdt                       # (TILE_N, TILE_R)
+        delta_dot_rd = sdx * rd_x[sj] + sdy * rd_y[sj] + sdz * rd_z[sj]
+        delta_dot_ro = sdx * ro_x[sj] + sdy * ro_y[sj] + sdz * ro_z[sj]
+        b = (ro_d[sj] - (scx * rd_x[sj] + scy * rd_y[sj] + scz * rd_z[sj])
+             - s * delta_dot_rd)
         c = (
-            ro_ro
-            - 2.0 * (scx * ro_x + scy * ro_y + scz * ro_z)
+            ro_ro[sj]
+            - 2.0 * (scx * ro_x[sj] + scy * ro_y[sj] + scz * ro_z[sj])
             + sc2
             - 2.0 * s * delta_dot_ro
             + 2.0 * s * cdd
             + s * s * sd2
         )
         disc = b * b - c
-        valid = (disc > 0.0) & (smask > 0)
+        valid = (disc > 0.0) & smask
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t0 = -b - sq
         t1 = -b + sq
         t0_ok = valid & (t0 > t_min) & (t0 < t_max)
         t1_ok = valid & (t1 > t_min) & (t1 < t_max)
         t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, _INF))
+        mins.append(jnp.min(t, axis=0, keepdims=True))
+        args.append(jnp.argmin(t, axis=0).astype(jnp.int32)[None, :])
 
-        tile_min = jnp.min(t, axis=1, keepdims=True)
-        tile_arg = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]
-        better = tile_min < best_t
-        best_t = jnp.where(better, tile_min, best_t)
-        best_i = jnp.where(better, k * TILE_N + tile_arg, best_i)
-        return best_t, best_i
-
-    init = (
-        jnp.full((TILE_R, 1), _INF, jnp.float32),
-        jnp.zeros((TILE_R, 1), jnp.int32),
-    )
-    best_t, best_i = jax.lax.fori_loop(0, n_tiles, tile_step, init)
-    t_out[:] = best_t
-    i_out[:] = best_i
+    tile_min = jnp.concatenate(mins, axis=0)             # (SUB_B, TILE_R)
+    tile_arg = jnp.concatenate(args, axis=0)
+    cur_t = t_out[:]
+    better = tile_min < cur_t
+    t_out[:] = jnp.where(better, tile_min, cur_t)
+    i_out[:] = jnp.where(better, k * TILE_N + tile_arg, i_out[:])
 
 
 def _pad_rays(x, rp):
@@ -279,34 +299,39 @@ def sphere_nearest_pallas_cols(spheres: Spheres, rox, roy, roz, rdx, rdy, rdz,
     planes — skips the [R, 3] column extracts of the array entry (the values
     are identical either way). ``cull=True`` (static scenes only) enables
     the in-kernel per-tile AABB cull — bit-identical results."""
-    cols = [c[:, None] for c in (rox, roy, roz, rdx, rdy, rdz)]
     return _sphere_nearest_call(
-        spheres, cols, time, float(t_min), float(t_max), bool(has_motion),
-        cull=bool(cull),
+        spheres, [rox, roy, roz, rdx, rdy, rdz], time,
+        float(t_min), float(t_max), bool(has_motion), cull=bool(cull),
     )
 
 
 @functools.partial(jax.jit, static_argnames=("has_motion", "t_min", "t_max"))
 def _sphere_nearest_pallas_impl(spheres: Spheres, ro, rd, time, t_min, t_max, has_motion):
-    cols = [ro[:, 0:1], ro[:, 1:2], ro[:, 2:3], rd[:, 0:1], rd[:, 1:2], rd[:, 2:3]]
-    return _sphere_nearest_call(spheres, cols, time, t_min, t_max, has_motion)
+    planes = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
+    return _sphere_nearest_call(spheres, planes, time, t_min, t_max, has_motion)
 
 
-def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max,
+def _sphere_nearest_call(spheres: Spheres, ray_planes, time, t_min, t_max,
                          has_motion, cull: bool = False):
-    R = ray_cols[0].shape[0]
+    R = ray_planes[0].shape[0]
     N = spheres.center.shape[0]
     n_pad = ((N + TILE_N - 1) // TILE_N) * TILE_N
     n_tiles = n_pad // TILE_N
-    Rp = ((R + TILE_R - 1) // TILE_R) * TILE_R
-    grid = (Rp // TILE_R,)
+    Rp = ((R + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
+    rb = Rp // TILE_R
+    # grid: (ray blocks, sphere tiles), tile axis MINOR — the out block is
+    # revisited across tiles and carries the running (t, idx) min
+    grid = (rb // SUB_B, n_tiles)
     cull = cull and not has_motion and n_tiles > 1
 
     def pad_n(x, fill=0.0):
-        if x.shape[0] == n_pad:
-            return x.astype(jnp.float32)[None, :]
-        pad = jnp.full((n_pad - x.shape[0],), fill, jnp.float32)
-        return jnp.concatenate([x.astype(jnp.float32), pad])[None, :]
+        # sphere SoA as [n_pad, 1] COLUMNS (sublane axis) — tiny arrays,
+        # the T(8,128) padding is n_pad*512B of HBM, nothing like the old
+        # [R, 1] ray columns (2 GB/operand at 4M rays)
+        if x.shape[0] != n_pad:
+            pad = jnp.full((n_pad - x.shape[0],), fill, jnp.float32)
+            x = jnp.concatenate([x.astype(jnp.float32), pad])
+        return x.astype(jnp.float32)[:, None]
 
     cx = pad_n(spheres.center[:, 0], 1.0e18)
     cy = pad_n(spheres.center[:, 1], 1.0e18)
@@ -317,13 +342,20 @@ def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max,
     )
     mask = pad_n(spheres.mask.astype(jnp.float32), 0.0)
 
-    ray_cols = [_pad_rays(c, Rp) for c in ray_cols]
+    # ray planes as [rb, TILE_R] row matrices: contiguous reshape that
+    # tiles HBM/VMEM with NO padding. The block index map ignores the
+    # tile axis, so Mosaic keeps the ray block resident across the whole
+    # sphere sweep.
+    ray_rows = [
+        _pad_rays(c, Rp).reshape(rb, TILE_R) for c in ray_planes
+    ]
 
-    ray_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    sph_spec = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-    scratch_shapes = []
+    ray_spec = pl.BlockSpec((SUB_B, TILE_R), lambda i, k: (i, 0),
+                            memory_space=pltpu.VMEM)
+    sph_spec = pl.BlockSpec((TILE_N, 1), lambda i, k: (k, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((SUB_B, TILE_R), lambda i, k: (i, 0),
+                            memory_space=pltpu.VMEM)
     if cull:
         # per-tile conservative AABBs (masked min/max over each 128-sphere
         # tile; hollow spheres have negative radius -> use |r|), eps-padded.
@@ -350,21 +382,17 @@ def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max,
         thz = tile_hi(spheres.center[:, 2])
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         kernel = functools.partial(
-            _kernel_static_culled, n_tiles=n_tiles,
+            _kernel_static_culled,
             t_min=float(t_min), t_max=float(t_max),
         )
         in_specs = [ray_spec] * 6 + [sph_spec] * 5 + [smem_spec] * 6
-        args = ray_cols + [cx, cy, cz, cc_m_r2, mask, tlx, tly, tlz, thx, thy, thz]
-        scratch_shapes = [
-            pltpu.VMEM((TILE_R, 1), jnp.float32),
-            pltpu.VMEM((TILE_R, 1), jnp.int32),
-        ]
+        args = ray_rows + [cx, cy, cz, cc_m_r2, mask, tlx, tly, tlz, thx, thy, thz]
     elif not has_motion:
         kernel = functools.partial(
-            _kernel_static, n_tiles=n_tiles, t_min=float(t_min), t_max=float(t_max)
+            _kernel_static, t_min=float(t_min), t_max=float(t_max)
         )
         in_specs = [ray_spec] * 6 + [sph_spec] * 5
-        args = ray_cols + [cx, cy, cz, cc_m_r2, mask]
+        args = ray_rows + [cx, cy, cz, cc_m_r2, mask]
     else:
         dx = pad_n(spheres.center_delta[:, 0])
         dy = pad_n(spheres.center_delta[:, 1])
@@ -374,11 +402,11 @@ def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max,
         c_dot_d = pad_n(jnp.sum(spheres.center * spheres.center_delta, axis=-1))
         d2 = pad_n(jnp.sum(spheres.center_delta * spheres.center_delta, axis=-1))
         kernel = functools.partial(
-            _kernel_moving, n_tiles=n_tiles, t_min=float(t_min), t_max=float(t_max)
+            _kernel_moving, t_min=float(t_min), t_max=float(t_max)
         )
         in_specs = [ray_spec] * 7 + [sph_spec] * 12
         args = (
-            ray_cols + [_pad_rays(time[:, None], Rp)]
+            ray_rows + [_pad_rays(time, Rp).reshape(rb, TILE_R)]
             + [cx, cy, cz, cc_m_r2, mask, dx, dy, dz, st0, sinvdt, c_dot_d, d2]
         )
 
@@ -388,10 +416,9 @@ def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max,
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((rb, TILE_R), jnp.float32),
+            jax.ShapeDtypeStruct((rb, TILE_R), jnp.int32),
         ),
-        scratch_shapes=scratch_shapes,
         # interpreter mode off-TPU so the kernel is testable on the CPU suite
         interpret=jax.default_backend() != "tpu",
         cost_estimate=pl.CostEstimate(
@@ -400,7 +427,7 @@ def _sphere_nearest_call(spheres: Spheres, ray_cols, time, t_min, t_max,
             transcendentals=Rp * n_pad,
         ),
     )(*args)
-    return t_out[:R, 0], i_out[:R, 0]
+    return t_out.reshape(Rp)[:R], i_out.reshape(Rp)[:R]
 
 
 def sphere_nearest_pallas(spheres: Spheres, ro, rd, time, t_min=MIN_T, t_max=MAX_T,
