@@ -1217,11 +1217,11 @@ COUNT_SKIP_SIZE = 1 << 18
 # in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.
 CULL_MIN_TILES = 8
 
-# Default bounces per dispatch. The sustained sweep (tools/group_sweep.py)
-# moved from g2 to g3/g4 once the two-tier ladder made compaction
-# near-free (g1 3.07 / g2 3.06 / g3 4.23 / g4 4.49 Mrays/s in-harness;
-# bench.py-level differences are inside this tunnel's ±15% run noise).
-DEFAULT_GROUP = 3
+# Default bounces per dispatch. Swept repeatedly as the ladder evolved:
+# g3 with the two-tier ladder (r2); after the rays-in-lanes kernel
+# transpose + interleaved ladder (r3), the headline sweep
+# (tools/chunk_sweep.py 2M chunks) reads g4 33.1 / g3 ~20 Mrays/s.
+DEFAULT_GROUP = 4
 
 
 @jax.jit
