@@ -71,9 +71,20 @@ def main() -> int:
             features=features, ray_chunk=1 << 19,
         )
 
-    # warmup/compile
+    # warmup: one frame compiles every program shape, then one full
+    # UNTIMED burst reaches steady state — the first post-compile burst
+    # pays one-time per-executable setup (lazy cache loads, allocator
+    # warmup) worth ~1/3 of its wall (22 vs 33 Mrays/s measured burst
+    # over burst; /tmp-probe 2026-08-19). The reference's rolling
+    # interactive meter (glium_window.rs:112-128) likewise reports
+    # steady state, not the first frames after launch.
     img, rays = run(0)
     np.asarray(img)
+    acc = None
+    for f in range(100, 106):
+        img, _ = run(f)
+        acc = img if acc is None else acc + img
+    np.asarray(acc)
 
     # Steady-state sustained throughput over a progressive-accumulation
     # burst: frames accumulate on device and the host reads back ONCE at

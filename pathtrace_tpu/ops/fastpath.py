@@ -1213,6 +1213,13 @@ INTERLEAVE_CHUNK = 1 << 21
 # Patchable.
 COUNT_SKIP_SIZE = 1 << 18
 
+# Interleaved-ladder compaction trigger: compact when the alive rung is at
+# most this fraction of the current size. Compaction is XLA gather work at
+# the OUTPUT size; bounces got ~3x cheaper with the rays-in-lanes kernel,
+# so only strong shrinks pay. Swept on the headline frame (same epoch):
+# 0.35 -> 33.4 Mrays/s vs 0.6 -> 23.4. Patchable.
+COMPACT_SHRINK = 0.35
+
 # Static sphere scenes spanning at least this many 128-sphere tiles use the
 # in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.
 CULL_MIN_TILES = 8
@@ -1285,7 +1292,7 @@ def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
                     c["done"] = True
                     continue
                 next_size = _rung(lanes, min_size)
-                if next_size <= int(c["size"] * 0.6):
+                if next_size <= int(c["size"] * COMPACT_SHRINK):
                     c["out_rad"], c["state"], c["indices"] = _compact(
                         c["out_rad"], c["state"], c["indices"], next_size,
                         radiance_fields=radiance_fields,
