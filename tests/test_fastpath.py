@@ -165,6 +165,9 @@ class TestParity:
         feats = SceneFeatures.from_scene(scene)
         ro, rd, tm = camera_rays(cam, 8192)
         monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 2048)
+        # scale COUNT_SKIP down too, or the test-sized chunks would skip
+        # every count read and the ladder would never compact
+        monkeypatch.setattr(fp, "COUNT_SKIP_SIZE", 256)
         a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats, min_size=128)
         monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 1 << 20)
         b, cb = trace_fast(scene, ro, rd, tm, 5, 8, feats, compaction=False)
@@ -180,6 +183,9 @@ class TestParity:
         feats = SceneFeatures.from_scene(scene)
         ro, rd, tm = camera_rays(cam, 5000)
         monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 2048)
+        # scale COUNT_SKIP down too, or the test-sized chunks would skip
+        # every count read and the ladder would never compact
+        monkeypatch.setattr(fp, "COUNT_SKIP_SIZE", 256)
         a, ca = trace_fast(scene, ro, rd, tm, 5, 8, feats, min_size=128)
         monkeypatch.setattr(fp, "INTERLEAVE_CHUNK", 1 << 20)
         b, cb = trace_fast(scene, ro, rd, tm, 5, 8, feats, compaction=False)
