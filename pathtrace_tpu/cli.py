@@ -192,7 +192,9 @@ def _enable_compilation_cache() -> None:
 
     import jax
 
-    if os.environ.get("PATHTRACE_DISABLE_JAX_CACHE"):
+    if os.environ.get("PATHTRACE_DISABLE_JAX_CACHE", "").lower() not in (
+        "", "0", "false", "no",
+    ):
         return
     cache_dir = os.environ.get(
         "PATHTRACE_JAX_CACHE", os.path.expanduser("~/.cache/pathtrace_tpu_jax")

@@ -1062,12 +1062,18 @@ def trace_fast(
     compaction: bool = True,
     group: Optional[int] = None,
     lane_offset: int = 0,
-) -> Tuple[jnp.ndarray, int]:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Host-driven fast trace with stream compaction.
 
     ``group`` bounces run per dispatch (amortizes ~45 ms tunnel overhead
     per jit call); ``lane_offset`` keeps RNG stream ids globally unique
-    when a frame is traced in chunks. Returns (radiance [R, 3], ray_count).
+    when a frame is traced in chunks. Returns ``(radiance [R, 3],
+    ray_count)`` where ray_count is a DEVICE int32 scalar — per-call
+    magnitudes ((max_depth+1) * R segments) fit comfortably, but callers
+    accumulating across many frames should convert to python ints outside
+    the hot loop (lagged, like the progressive driver) rather than
+    summing device scalars without bound: int32 wraps past ~2.1B
+    segments.
     """
     assert fastpath_supported(features, scene)
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
@@ -1245,6 +1251,20 @@ def _alive_counts_jit(alive):
     return jnp.stack([lanes, rows])
 
 
+def _lane_compact(out_radiance, state, indices, next_size, radiance_fields,
+                  identity):
+    """One exact-lane compaction step, shared by both ladders.
+
+    Returns the updated ``(out_radiance, state, indices, size, identity)``
+    — size is the new wavefront size and identity always False after a
+    compaction (indices are re-slotted)."""
+    out_radiance, state, indices = _compact(
+        out_radiance, state, indices, next_size,
+        radiance_fields=radiance_fields, identity=identity,
+    )
+    return out_radiance, state, indices, next_size, False
+
+
 def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
                         group, radiance_fields):
     """Round-robin the compaction ladder over several sub-wavefront chunks.
@@ -1293,13 +1313,11 @@ def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
                     continue
                 next_size = _rung(lanes, min_size)
                 if next_size <= int(c["size"] * COMPACT_SHRINK):
-                    c["out_rad"], c["state"], c["indices"] = _compact(
+                    (c["out_rad"], c["state"], c["indices"], c["size"],
+                     c["identity"]) = _lane_compact(
                         c["out_rad"], c["state"], c["indices"], next_size,
-                        radiance_fields=radiance_fields,
-                        identity=c["identity"],
+                        radiance_fields, c["identity"],
                     )
-                    c["size"] = next_size
-                    c["identity"] = False
             g = min(group, max_depth + 1 - c["depth"])
             c["state"], segs = step(c["state"], c["depth"], g)
             c["segs"].append(segs)
@@ -1385,21 +1403,16 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                         # shrink still pays even at multi-M sizes, and
                         # without it the ladder is stuck at full width
                         # for every remaining bounce
-                        out_radiance, state, indices = _compact(
-                            out_radiance, state, indices, next_size,
-                            radiance_fields=radiance_fields,
-                            identity=identity,
+                        out_radiance, state, indices, size, identity = (
+                            _lane_compact(out_radiance, state, indices,
+                                          next_size, radiance_fields,
+                                          identity)
                         )
-                        size = next_size
-                        identity = False
                 elif next_size <= int(size * 0.6):
-                    out_radiance, state, indices = _compact(
-                        out_radiance, state, indices, next_size,
-                        radiance_fields=radiance_fields,
-                        identity=identity,
+                    out_radiance, state, indices, size, identity = (
+                        _lane_compact(out_radiance, state, indices,
+                                      next_size, radiance_fields, identity)
                     )
-                    size = next_size
-                    identity = False
         pending = new_pending
 
     out_radiance = _final_flush(out_radiance, state, indices,

@@ -46,7 +46,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     and a bisection lever for in-process heap issues).
     """
     global _lib, _load_failed
-    if os.environ.get("PATHTRACE_NO_NATIVE"):
+    if os.environ.get("PATHTRACE_NO_NATIVE", "").lower() not in (
+        "", "0", "false", "no",
+    ):
         return None
     if _lib is not None:
         return _lib

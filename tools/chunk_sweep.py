@@ -61,8 +61,17 @@ def main() -> int:
                     features, group=grp,
                 )
 
+            # compile + reach steady state (the first post-compile burst
+            # pays ~1/3 of its wall in one-time per-executable setup —
+            # see bench.py; timing it would bias combos with more
+            # program shapes)
             img, rays = run(0)
             np.asarray(img)
+            acc = None
+            for f in range(100, 106):
+                img, _ = run(f)
+                acc = img if acc is None else acc + img
+            np.asarray(acc)
             acc = None
             total = None
             t0 = time.perf_counter()
