@@ -136,14 +136,15 @@ class SceneBuilder:
         return len(self._texs) - 1
 
     def image_texture(self, image) -> int:
-        """Image texture from an [h, w, 3] float array in [0, 1] or a PNG
-        file path (loaded at build time, the analog of the reference's
-        runtime ``RgbImage::open`` — src/texture.rs:14-36; like the
-        reference, raw 8-bit values map to [0,1] with no sRGB decode)."""
+        """Image texture from an [h, w, 3] float array in [0, 1] or a
+        PNG/JPEG file path (loaded at build time, the analog of the
+        reference's runtime ``RgbImage::open`` — src/texture.rs:14-36,
+        whose own asset is earthmap.jpg; like the reference, raw 8-bit
+        values map to [0,1] with no sRGB decode)."""
         if isinstance(image, (str, bytes)) or hasattr(image, "__fspath__"):
-            from pathtrace_tpu.render.film import read_png
+            from pathtrace_tpu.render.film import read_image
 
-            image = read_png(str(image)).astype(np.float32) / 255.0
+            image = read_image(str(image)).astype(np.float32) / 255.0
         img_id = len(self._images)
         self._images.append(np.asarray(image, dtype=np.float32))
         self._texs.append((T.TEX_IMAGE, np.zeros(3, np.float32), 0, 0, 0.0, img_id))

@@ -674,6 +674,33 @@ def _bounce_group_jit(tables, sky, grad_sky, state, seed,
     return state, segs
 
 
+class _PrimScene(NamedTuple):
+    """The four primitive groups as a Scene-shaped pytree — all the BVH
+    leaf tests touch (shading data rides the prebuilt attr tables)."""
+
+    spheres: object
+    rects: object
+    boxes: object
+    media: object
+
+
+def _gid_to_table_row(gid, offsets, sph_rows, box_rows):
+    """Global primitive id (sphere|rect|box|medium blocks, BVH order) ->
+    fused attribute-table row (same kind order, but each kind's table
+    block is padded: spheres to 128-multiples, rects to exactly 128).
+
+    Branch-free: monotone offsets, applied in increasing order so the
+    last matching block wins. Misses carry gid 0 -> sphere row 0, exactly
+    like the brute path's argmin idx on a miss (shading masks on t)."""
+    off_s, off_r, off_b, off_m = offsets
+    row = gid
+    row = jnp.where(gid >= off_r, gid - off_r + sph_rows, row)
+    row = jnp.where(gid >= off_b, gid - off_b + sph_rows + TILE_N, row)
+    row = jnp.where(gid >= off_m,
+                    gid - off_m + sph_rows + TILE_N + box_rows, row)
+    return row
+
+
 def fast_bounce_fused(
     tables, sky, use_gradient_sky, state: FastStateP,
     seed, depth, max_depth: int, features: SceneFeatures, scene=None,
@@ -700,7 +727,7 @@ def fast_bounce_fused(
 def _fast_bounce_fused_prims(
     tables, sky, use_gradient_sky, state: FastStateP,
     seed, depth, max_depth: int, features: SceneFeatures, prims,
-    cull: bool = False,
+    cull: bool = False, bvh=None, bvh_offsets=None,
 ):
     from pathtrace_tpu.ops import intersect as isect
     from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas_cols
@@ -709,6 +736,41 @@ def _fast_bounce_fused_prims(
     f = features
     spheres, rects, boxes, media = prims
     sph_table, rect_table, box_table, media_table = tables
+    if bvh is not None:
+        # -B on the fused path: whole-scene BVH traversal replaces the
+        # brute per-kind sweeps as the intersect provider; winners land in
+        # the SAME fused attr table (gid -> padded table row), so the row
+        # gather + fused Pallas shading below are shared verbatim with the
+        # brute path. Matches the reference's BVH-or-list switch feeding
+        # one shading pipeline (src/main.rs:63-66, scene.rs ray_hit).
+        from pathtrace_tpu.models.bvh import bvh_scene_nearest
+
+        med_u = None
+        if f.has_media:
+            med_u = jnp.stack(
+                [counter_uniform(state.lane, seed, depth, 8 + j)
+                 for j in range(media.count)], axis=-1,
+            )
+        ro3 = jnp.stack([state.rox, state.roy, state.roz], axis=1)
+        rd3 = jnp.stack([state.rdx, state.rdy, state.rdz], axis=1)
+        t, gid = bvh_scene_nearest(
+            bvh, _PrimScene(spheres, rects, boxes, media), ro3, rd3,
+            state.time, med_u, MIN_T, MAX_T, features=f,
+            offsets=bvh_offsets,
+        )
+        box_rows = box_table.shape[0] if box_table is not None else 0
+        idx = _gid_to_table_row(gid, bvh_offsets, sph_table.shape[0],
+                                box_rows)
+        parts = [sph_table, rect_table]
+        if box_table is not None:
+            parts.append(box_table)
+        if media_table is not None:
+            parts.append(media_table)
+        table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return _fused_shade_from_winners(
+            table, idx, t, state, seed, depth, max_depth, features,
+            sky, use_gradient_sky,
+        )
     if f.has_spheres:
         t, idx = sphere_nearest_pallas_cols(
             spheres, state.rox, state.roy, state.roz,
@@ -754,6 +816,19 @@ def _fast_bounce_fused_prims(
     if media_table is not None:
         parts.append(media_table)
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return _fused_shade_from_winners(
+        table, idx, t, state, seed, depth, max_depth, features,
+        sky, use_gradient_sky,
+    )
+
+
+def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
+                              features, sky, use_gradient_sky):
+    """Shared tail of the fused bounce: ONE winner row gather + the fused
+    Pallas shading kernel (brute and BVH intersect providers both land
+    here, so their shading is the same program byte-for-byte)."""
+    from pathtrace_tpu.ops.shade_pallas import shade_bounce_planes
+
     attrs = table[idx]                                   # ONE row gather
     # deliver attrs as ONE (rows, K, 128) array — a single minor-dim
     # transpose instead of K strided column extracts (the extracts cost
@@ -965,6 +1040,43 @@ def trace_fast_device(
     return radiance, segs
 
 
+class DeviceRayCount:
+    """Lazy cross-chunk segment total that cannot wrap int32.
+
+    Each part is a device int32 scalar bounded by ONE ``trace_fast`` call
+    (at most ``FRAME_CHUNK * (max_depth + 1)`` segments, ~46M — comfortably
+    int32). The TOTAL across a huge-spp frame's chunks can exceed 2**31
+    (1280x720 @ 1024 spp, depth 10 is ~10B segments), so parts stay
+    separate device scalars and are read back together and summed
+    host-side in python ints at ``int()`` time — one sync point, the same
+    lagged-readback discipline the drivers already follow. The reference's
+    ``usize`` ray counter never wraps (reference src/scene.rs:21); this is
+    the fixed-width-device analog.
+    """
+
+    __slots__ = ("parts",)
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+
+    def __add__(self, other):
+        if isinstance(other, DeviceRayCount):
+            return DeviceRayCount(self.parts + other.parts)
+        if isinstance(other, (int, float)) and other == 0:
+            return DeviceRayCount(self.parts)
+        return DeviceRayCount(self.parts + [other])
+
+    __radd__ = __add__
+
+    def __int__(self):
+        if not self.parts:
+            return 0
+        vec = np.asarray(jnp.stack(self.parts)).astype(np.int64)
+        return int(vec.sum())
+
+    __index__ = __int__
+
+
 def frame_chunk(features: SceneFeatures) -> int:
     """Rays per trace_fast launch-set.
 
@@ -1025,7 +1137,7 @@ def render_frame_fast(
         )
     else:
         parts = []
-        ray_count = 0
+        counts = []
         for lo in range(0, R, FRAME_CHUNK):
             hi = min(lo + FRAME_CHUNK, R)
             rad_c, cnt_c = trace_fast(
@@ -1034,7 +1146,11 @@ def render_frame_fast(
                 group=group, lane_offset=lo,
             )
             parts.append(rad_c)
-            ray_count += cnt_c
+            counts.append(cnt_c)
+        # per-chunk counts stay separate device scalars: a device int32 SUM
+        # across chunks wraps past ~2.1B segments (1280x720 @ 1024 spp is
+        # ~10B) — DeviceRayCount sums host-side in python ints at int() time
+        ray_count = DeviceRayCount(counts)
         radiance = jnp.concatenate(parts, axis=0)
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)
     return img, ray_count
@@ -1078,6 +1194,13 @@ def trace_fast(
     assert fastpath_supported(features, scene)
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
+    # segment counts ride device int32: one call's ceiling must fit
+    # (frame-scale workloads arrive pre-chunked via render_frame_fast)
+    assert ro.shape[0] * (max_depth + 1) < 2**31, (
+        "trace_fast call would overflow its int32 segment counter; "
+        "split the wavefront (render_frame_fast chunks automatically)"
+    )
+
     if group is None:
         group = DEFAULT_GROUP
     tables, sky, grad_sky = prep_tables(scene, features)
@@ -1107,14 +1230,19 @@ def trace_fast(
                 cull_first=cull_scene and depth == 0,
             )
 
-        def make_state(lo, hi):
+        def make_state(lo, hi, rp=None):
             # pad to 1024-ray multiples so plane blocks satisfy the Mosaic
             # sublane-divisibility constraint (compaction rungs below 1024
-            # are powers of two and use whole-plane blocks)
+            # are powers of two and use whole-plane blocks). ``rp`` lets the
+            # interleaved ladder force EVERY chunk to one padded size — a
+            # short tail chunk otherwise rounds to a smaller 1024-multiple
+            # and compiles a second program-shape family (minutes per shape
+            # on this platform's compile service).
             n = hi - lo
-            rp = ((n + 1023) // 1024) * 1024 if n >= 1024 else (
-                ((n + 127) // 128) * 128
-            )
+            if rp is None:
+                rp = ((n + 1023) // 1024) * 1024 if n >= 1024 else (
+                    ((n + 127) // 128) * 128
+                )
 
             def padp(x):
                 if rp == n:
@@ -1155,7 +1283,7 @@ def trace_fast(
             bounds = [
                 (lo, min(lo + base, R0)) for lo in range(0, R0, base)
             ]
-            chunk_states = [make_state(lo, hi) for lo, hi in bounds]
+            chunk_states = [make_state(lo, hi, rp=base) for lo, hi in bounds]
             return _interleaved_ladder(
                 step, chunk_states, [hi - lo for lo, hi in bounds],
                 max_depth, max(min_size, 128), group,
@@ -1397,7 +1525,7 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                         )
                         size = next_rows * 128
                         identity = False
-                    elif next_size <= int(size * 0.35):
+                    elif next_size <= int(size * COMPACT_SHRINK):
                         # rows can't shrink (deaths scattered: every
                         # 128-lane row keeps a live lane) — a strong lane
                         # shrink still pays even at multi-M sizes, and

@@ -173,16 +173,21 @@ def _kernel_static_culled(
         (texit >= tenter) & (texit > t_min)
         & (tenter < jnp.minimum(cur, t_max))
     )
-    any_want = jnp.sum(want.astype(jnp.float32)) > 0.0
+    # skip decisions per SUB_B ROW (512 rays), not the whole 4096-ray
+    # block: a coherent row skips a tile even when a divergent sibling row
+    # in the same block wants it. (Padded tail lanes ride with ro = 1e30 —
+    # set by the caller for the cull variant only — so their slab interval
+    # is empty and they never force a row's sweep.)
+    wantf = want.astype(jnp.float32)
+    scx, scy, scz = cx[:], cy[:], cz[:]                  # (TILE_N, 1)
+    sc2 = cc_m_r2[:]
+    smask = mask[:] > 0
 
-    @pl.when(any_want)
-    def _():
-        scx, scy, scz = cx[:], cy[:], cz[:]              # (TILE_N, 1)
-        sc2 = cc_m_r2[:]
-        smask = mask[:] > 0
+    for j in range(SUB_B):
+        row_want = jnp.sum(wantf[j]) > 0.0
 
-        mins, args = [], []
-        for j in range(SUB_B):
+        @pl.when(row_want)
+        def _(j=j):
             sj = slice(j, j + 1)
             b = ro_d[sj] - (scx * rd_x[sj] + scy * rd_y[sj] + scz * rd_z[sj])
             c = (ro_ro[sj]
@@ -196,15 +201,12 @@ def _kernel_static_culled(
             t0_ok = valid & (t0 > t_min) & (t0 < t_max)
             t1_ok = valid & (t1 > t_min) & (t1 < t_max)
             t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, _INF))
-            mins.append(jnp.min(t, axis=0, keepdims=True))
-            args.append(jnp.argmin(t, axis=0).astype(jnp.int32)[None, :])
-
-        tile_min = jnp.concatenate(mins, axis=0)         # (SUB_B, TILE_R)
-        tile_arg = jnp.concatenate(args, axis=0)
-        cur_t = t_out[:]
-        better = tile_min < cur_t
-        t_out[:] = jnp.where(better, tile_min, cur_t)
-        i_out[:] = jnp.where(better, k * TILE_N + tile_arg, i_out[:])
+            row_min = jnp.min(t, axis=0, keepdims=True)  # (1, TILE_R)
+            row_arg = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+            cur_t = t_out[sj]
+            better = row_min < cur_t
+            t_out[sj] = jnp.where(better, row_min, cur_t)
+            i_out[sj] = jnp.where(better, k * TILE_N + row_arg, i_out[sj])
 
 
 def _kernel_moving(
@@ -280,11 +282,13 @@ def _kernel_moving(
     i_out[:] = jnp.where(better, k * TILE_N + tile_arg, i_out[:])
 
 
-def _pad_rays(x, rp):
+def _pad_rays(x, rp, fill=0.0):
     r = x.shape[0]
     if rp == r:
         return x
-    return jnp.concatenate([x, jnp.zeros((rp - r,) + x.shape[1:], x.dtype)], axis=0)
+    return jnp.concatenate(
+        [x, jnp.full((rp - r,) + x.shape[1:], fill, x.dtype)], axis=0
+    )
 
 
 @functools.partial(
@@ -345,9 +349,13 @@ def _sphere_nearest_call(spheres: Spheres, ray_planes, time, t_min, t_max,
     # ray planes as [rb, TILE_R] row matrices: contiguous reshape that
     # tiles HBM/VMEM with NO padding. The block index map ignores the
     # tile axis, so Mosaic keeps the ray block resident across the whole
-    # sphere sweep.
+    # sphere sweep. Cull variant: padded tail lanes get ro = 1e30 (empty
+    # slab interval) so they never force a row's tile sweep; rd stays 0.
+    # (Padded lanes' outputs are sliced off either way.)
+    ro_fill = 1.0e30 if cull else 0.0
     ray_rows = [
-        _pad_rays(c, Rp).reshape(rb, TILE_R) for c in ray_planes
+        _pad_rays(c, Rp, fill=(ro_fill if i < 3 else 0.0)).reshape(rb, TILE_R)
+        for i, c in enumerate(ray_planes)
     ]
 
     ray_spec = pl.BlockSpec((SUB_B, TILE_R), lambda i, k: (i, 0),

@@ -52,6 +52,21 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
         f.write(encode_png(rgb_u8))
 
 
+def read_image(path: str) -> np.ndarray:
+    """Read a PNG or baseline JPEG to [H, W, 3] uint8, sniffed by magic
+    bytes (the analog of the reference's format-agnostic ``image::open``,
+    reference src/texture.rs:14-20, whose own asset is earthmap.jpg)."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\xff\xd8":
+        from pathtrace_tpu.render.jpeg import read_jpeg
+
+        return read_jpeg(path)
+    if magic == b"\x89P":
+        return read_png(path)
+    raise ValueError(f"{path}: not a PNG or JPEG (magic {magic!r})")
+
+
 def read_png(path: str) -> np.ndarray:
     """Minimal PNG reader for round-trip tests (8-bit RGB, filters 0-4)."""
     with open(path, "rb") as f:
