@@ -227,7 +227,8 @@ def build_media_table(scene: Scene, k_attr: int) -> jnp.ndarray:
     return _finish_table(cols, md.mask, GEO, md.count, k_attr, img)
 
 
-def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None):
+def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None,
+                      bvh=None, bvh_offsets=None):
     """Closest hit + winner attribute row across all primitive kinds.
 
     ``tables`` = (sphere, rect, box, media) attribute tables (box/media may
@@ -239,12 +240,37 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None):
     replaces. So the sphere kernel returns only (t, idx) and the winner row
     is fetched with one gather from the fused table. Rect/box/media counts
     are tiny, so their intersections stay in XLA.
+
+    ``bvh`` (a WideBVH/FlatBVH + its offsets) swaps the intersect provider
+    to whole-scene BVH traversal — the ``-B`` analog for XLA-shading scenes
+    (image textures); winners land in the same fused table rows.
     """
     from pathtrace_tpu.ops import intersect as isect
     from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
 
     f = features
     sph_table, rect_table, box_table, media_table = tables
+    if bvh is not None:
+        from pathtrace_tpu.models.bvh import (
+            WideBVH, bvh_scene_nearest, wide_scene_nearest,
+        )
+
+        nearest = (wide_scene_nearest if isinstance(bvh, WideBVH)
+                   else bvh_scene_nearest)
+        t, gid = nearest(
+            bvh, scene, ro, rd, time, med_u, MIN_T, MAX_T,
+            features=f, offsets=bvh_offsets,
+        )
+        box_rows = box_table.shape[0] if box_table is not None else 0
+        idx = _gid_to_table_row(gid, bvh_offsets, sph_table.shape[0],
+                                box_rows)
+        parts = [sph_table, rect_table]
+        if box_table is not None:
+            parts.append(box_table)
+        if media_table is not None:
+            parts.append(media_table)
+        table = jnp.concatenate(parts, axis=0)
+        return t, table[idx]
     parts = [sph_table]
     offset = sph_table.shape[0]
     if f.has_spheres:
@@ -414,6 +440,7 @@ class FastStateP(NamedTuple):
 def fast_bounce(
     tables, sky, use_gradient_sky, state: FastState,
     seed, depth, max_depth: int, features: SceneFeatures, scene=None,
+    bvh=None, bvh_offsets=None,
 ):
     """One single-gather bounce. depth: traced int32; max_depth static."""
     f = features
@@ -426,7 +453,8 @@ def fast_bounce(
              for j in range(n_media)], axis=-1,
         )
     t, attrs = nearest_hit_attrs(
-        tables, state.ro, state.rd, state.time, f, scene, med_u=med_u
+        tables, state.ro, state.rd, state.time, f, scene, med_u=med_u,
+        bvh=bvh, bvh_offsets=bvh_offsets,
     )
     hit = t < _INF
     t_safe = jnp.where(hit, t, 0.0)
@@ -654,11 +682,11 @@ def fast_bounce(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_depth", "features", "group")
+    jax.jit, static_argnames=("max_depth", "features", "group", "bvh_offsets")
 )
 def _bounce_group_jit(tables, sky, grad_sky, state, seed,
                       depth0, max_depth, features, scene,
-                      group: int = 1):
+                      group: int = 1, bvh=None, bvh_offsets=None):
     """Run `group` consecutive bounces in ONE dispatch.
 
     Each jit dispatch costs ~45 ms of tunnel overhead on this platform;
@@ -670,6 +698,7 @@ def _bounce_group_jit(tables, sky, grad_sky, state, seed,
         state = fast_bounce(
             tables, sky, grad_sky, state, seed, depth0 + g,
             max_depth, features, scene=scene,
+            bvh=bvh, bvh_offsets=bvh_offsets,
         )
     return state, segs
 
@@ -743,7 +772,9 @@ def _fast_bounce_fused_prims(
         # gather + fused Pallas shading below are shared verbatim with the
         # brute path. Matches the reference's BVH-or-list switch feeding
         # one shading pipeline (src/main.rs:63-66, scene.rs ray_hit).
-        from pathtrace_tpu.models.bvh import bvh_scene_nearest
+        from pathtrace_tpu.models.bvh import (
+            WideBVH, bvh_scene_nearest, wide_scene_nearest,
+        )
 
         med_u = None
         if f.has_media:
@@ -753,7 +784,9 @@ def _fast_bounce_fused_prims(
             )
         ro3 = jnp.stack([state.rox, state.roy, state.roz], axis=1)
         rd3 = jnp.stack([state.rdx, state.rdy, state.rdz], axis=1)
-        t, gid = bvh_scene_nearest(
+        nearest = (wide_scene_nearest if isinstance(bvh, WideBVH)
+                   else bvh_scene_nearest)
+        t, gid = nearest(
             bvh, _PrimScene(spheres, rects, boxes, media), ro3, rd3,
             state.time, med_u, MIN_T, MAX_T, features=f,
             offsets=bvh_offsets,
@@ -861,7 +894,8 @@ def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
 
 def _bounce_group_fused(tables, sky, grad_sky, state, seed,
                         depth0, max_depth, features, prims,
-                        group: int = 1, cull_first: bool = False):
+                        group: int = 1, cull_first: bool = False,
+                        bvh=None, bvh_offsets=None):
     """``prims``: (spheres, rects, boxes, media) with absent kinds None —
     the bounce needs no other scene leaves (shading data is in the
     prebuilt tables), and keeping unused pytrees out of the signature
@@ -881,11 +915,12 @@ def _bounce_group_fused(tables, sky, grad_sky, state, seed,
         state = _fast_bounce_fused_prims(
             tables, sky, grad_sky, state, seed, depth0 + g,
             max_depth, features, prims, cull=(cull_first and g == 0),
+            bvh=bvh, bvh_offsets=bvh_offsets,
         )
     return state, segs
 
 
-_STATICS = ("max_depth", "features", "group", "cull_first")
+_STATICS = ("max_depth", "features", "group", "cull_first", "bvh_offsets")
 # Two compilations of the same bounce group: the depth-0 dispatch must NOT
 # donate (its state planes wrap the CALLER's ro/rd/time arrays, which the
 # caller may reuse — e.g. rendering the same rays twice); every later
@@ -928,6 +963,8 @@ def trace_fast_diff(
     seed,
     max_depth: int,
     features: SceneFeatures,
+    lane_offset=0,
+    alive_limit: Optional[int] = None,
 ):
     """Differentiable fast trace: lax.scan over the full bounce budget.
 
@@ -936,19 +973,31 @@ def trace_fast_diff(
     scene-parameter gradients flow through the attribute tables back to the
     scene pytree. No compaction (static shapes under scan). Returns
     (radiance [R, 3], ray_count []).
+
+    ``lane_offset``/``alive_limit`` mirror :func:`trace_fast_device`: the
+    counter-hash RNG is keyed on global lane ids, so a ``shard_map`` over
+    the ray axis (``parallel.mesh.trace_sharded`` with
+    ``differentiable=True``) is bit-identical to the single-device trace,
+    and the shard_map transpose inserts the scene-gradient all-reduce
+    (psum of replicated-input cotangents) over ICI automatically.
     """
     assert fastpath_supported(features, scene)
     R = ro.shape[0]
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
+    lane = jnp.uint32(lane_offset) + jnp.arange(R, dtype=jnp.uint32)
+    alive = (
+        jnp.ones(R, bool) if alive_limit is None
+        else lane < jnp.uint32(alive_limit)
+    )
     state = FastState(
         ro=ro,
         rd=rd,
         time=time,
         radiance=jnp.zeros((R, 3), ro.dtype),
         throughput=jnp.ones((R, 3), ro.dtype),
-        alive=jnp.ones(R, bool),
-        lane=jnp.arange(R, dtype=jnp.uint32),
+        alive=alive,
+        lane=lane,
     )
 
     def step(carry, depth):
@@ -1108,6 +1157,8 @@ def render_frame_fast(
     compaction: bool = True,
     group: Optional[int] = None,
     stratify: bool = False,
+    bvh=None,
+    bvh_offsets=None,
 ):
     """Whole-frame render via the fast path (host-driven loop).
 
@@ -1134,6 +1185,7 @@ def render_frame_fast(
         radiance, ray_count = trace_fast(
             scene, ro, rd, t, seed, max_depth, features,
             min_size=min_size, compaction=compaction, group=group,
+            bvh=bvh, bvh_offsets=bvh_offsets,
         )
     else:
         parts = []
@@ -1144,6 +1196,7 @@ def render_frame_fast(
                 scene, ro[lo:hi], rd[lo:hi], t[lo:hi], seed, max_depth,
                 features, min_size=min_size, compaction=compaction,
                 group=group, lane_offset=lo,
+                bvh=bvh, bvh_offsets=bvh_offsets,
             )
             parts.append(rad_c)
             counts.append(cnt_c)
@@ -1178,6 +1231,8 @@ def trace_fast(
     compaction: bool = True,
     group: Optional[int] = None,
     lane_offset: int = 0,
+    bvh=None,
+    bvh_offsets=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Host-driven fast trace with stream compaction.
 
@@ -1190,6 +1245,11 @@ def trace_fast(
     the hot loop (lagged, like the progressive driver) rather than
     summing device scalars without bound: int32 wraps past ~2.1B
     segments.
+
+    ``bvh``/``bvh_offsets`` (the ``-B`` analog): whole-scene BVH traversal
+    replaces the brute sweeps as the intersect provider on BOTH shading
+    flavors; everything else (ladder, compaction, fused shading) is shared,
+    so ``-B`` rides the full fast-path machinery.
     """
     assert fastpath_supported(features, scene)
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
@@ -1202,7 +1262,16 @@ def trace_fast(
     )
 
     if group is None:
-        group = DEFAULT_GROUP
+        # BVH bounces are ~20x a brute bounce (serial traversal chain), so
+        # grouping delays compaction at full width for the whole group:
+        # measured g1 4.08 s vs g4 7.39 s on a 1M depth-10 trace
+        # (tools/bvh_ladder_probe.py). Ungrouped + eager shrink wins.
+        group = 1 if bvh is not None else DEFAULT_GROUP
+    # same economics for the compaction trigger: traversal cost scales
+    # with wavefront size, so ANY shrink pays on the BVH path, while the
+    # cheap brute bounces only profit from strong (>= 1/0.35x) shrinks
+    shrink = 0.9 if bvh is not None else COMPACT_SHRINK
+    count_skip = (1 << 14) if bvh is not None else COUNT_SKIP_SIZE
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
 
@@ -1216,7 +1285,8 @@ def trace_fast(
         prims = _scene_prims(scene, features)
         n_tiles = (scene.spheres.center.shape[0] + 127) // 128
         cull_scene = (
-            features.has_spheres and not features.has_motion
+            bvh is None
+            and features.has_spheres and not features.has_motion
             and n_tiles >= CULL_MIN_TILES
         )
 
@@ -1228,6 +1298,7 @@ def trace_fast(
                 tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
                 max_depth, features, prims, group=g,
                 cull_first=cull_scene and depth == 0,
+                bvh=bvh, bvh_offsets=bvh_offsets,
             )
 
         def make_state(lo, hi, rp=None):
@@ -1288,6 +1359,8 @@ def trace_fast(
                 step, chunk_states, [hi - lo for lo, hi in bounds],
                 max_depth, max(min_size, 128), group,
                 radiance_fields=("rad_r", "rad_g", "rad_b"),
+                shrink=shrink if bvh is not None else None,
+                count_skip=count_skip if bvh is not None else None,
             )
 
         # fused bounce graphs are small (no [R,3] fusion temps), so bounce
@@ -1298,6 +1371,7 @@ def trace_fast(
             max_depth, max(min_size, 128), compaction, group,
             group_size_cap=None,
             radiance_fields=("rad_r", "rad_g", "rad_b"),
+            shrink=shrink if bvh is not None else None,
         )
         return out_radiance[:R0], ray_count
 
@@ -1315,6 +1389,7 @@ def trace_fast(
         return _bounce_group_jit(
             tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
             max_depth, features, scene, group=g,
+            bvh=bvh, bvh_offsets=bvh_offsets,
         )
 
     # group bounces only for small wavefronts on this path: at large R the
@@ -1323,6 +1398,7 @@ def trace_fast(
     return _host_ladder(
         step, state, ro.shape[0], max_depth, min_size, compaction, group,
         group_size_cap=1 << 19, radiance_fields=("radiance",),
+        shrink=shrink if bvh is not None else None,
     )
 
 
@@ -1394,7 +1470,8 @@ def _lane_compact(out_radiance, state, indices, next_size, radiance_fields,
 
 
 def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
-                        group, radiance_fields):
+                        group, radiance_fields, shrink=None,
+                        count_skip=None):
     """Round-robin the compaction ladder over several sub-wavefront chunks.
 
     Why this beats one big ladder on this platform (all measured —
@@ -1427,7 +1504,11 @@ def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
         })
     # below this size a count readback costs more than just tracing the
     # remaining bounces at the current size (tail rounds are ~ms)
-    count_skip = max(2 * min_size, COUNT_SKIP_SIZE)
+    if count_skip is None:
+        count_skip = COUNT_SKIP_SIZE
+    count_skip = max(2 * min_size, count_skip)
+    if shrink is None:
+        shrink = COMPACT_SHRINK
 
     while not all(c["done"] for c in chunks):
         for c in chunks:
@@ -1440,7 +1521,7 @@ def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
                     c["done"] = True
                     continue
                 next_size = _rung(lanes, min_size)
-                if next_size <= int(c["size"] * COMPACT_SHRINK):
+                if next_size <= int(c["size"] * shrink):
                     (c["out_rad"], c["state"], c["indices"], c["size"],
                      c["identity"]) = _lane_compact(
                         c["out_rad"], c["state"], c["indices"], next_size,
@@ -1469,7 +1550,7 @@ def _interleaved_ladder(step, chunk_states, chunk_r0s, max_depth, min_size,
 
 
 def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
-                 group_size_cap, radiance_fields):
+                 group_size_cap, radiance_fields, shrink=None):
     """Host-driven bounce loop with the lagged-sync compaction ladder.
 
     Lagged alive counts: the device->host readback costs a full tunnel
@@ -1515,9 +1596,12 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                 # run eagerly. Once small, the exact lane compaction
                 # (packed row-gather form) takes over.
                 next_size = _rung(lag_lanes, min_size)
+                row_thresh = 0.75 if shrink is None else shrink
+                lane_thresh = COMPACT_SHRINK if shrink is None else shrink
+                small_thresh = 0.6 if shrink is None else shrink
                 if size > LANE_COMPACT_MAX and size % 128 == 0:
                     next_rows = _rung(lag_rows, max(min_size // 128, 1))
-                    if next_rows * 128 <= int(size * 0.75):
+                    if next_rows * 128 <= int(size * row_thresh):
                         out_radiance, state, indices = _compact_rows(
                             out_radiance, state, indices, next_rows,
                             radiance_fields=radiance_fields,
@@ -1525,7 +1609,7 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                         )
                         size = next_rows * 128
                         identity = False
-                    elif next_size <= int(size * COMPACT_SHRINK):
+                    elif next_size <= int(size * lane_thresh):
                         # rows can't shrink (deaths scattered: every
                         # 128-lane row keeps a live lane) — a strong lane
                         # shrink still pays even at multi-M sizes, and
@@ -1536,7 +1620,7 @@ def _host_ladder(step, state, R, max_depth, min_size, compaction, group,
                                           next_size, radiance_fields,
                                           identity)
                         )
-                elif next_size <= int(size * 0.6):
+                elif next_size <= int(size * small_thresh):
                     out_radiance, state, indices, size, identity = (
                         _lane_compact(out_radiance, state, indices,
                                       next_size, radiance_fields, identity)

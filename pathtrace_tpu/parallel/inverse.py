@@ -90,7 +90,7 @@ class InverseRenderer:
     rebuild: Callable[[Any], Scene]
     optimizer: Any = None
     learning_rate: float = 2e-2
-    use_fast_path: bool = False  # single-device trace_fast_diff forward
+    use_fast_path: bool = False  # mesh-sharded trace_fast_diff forward
     # visibility gradients: add the silhouette edge-sampling boundary term
     # (ops/silhouette.py) for sphere centers/radii; interior autodiff alone
     # sees zero gradient from pure occlusion changes
@@ -105,26 +105,23 @@ class InverseRenderer:
     def render(self, params, key):
         scene = self.rebuild(params)
         if self.use_fast_path:
-            # differentiable fast path (pallas kernel + row-gather shading);
-            # single device — mesh data parallelism uses the general path
-            from pathtrace_tpu.ops.fastpath import trace_fast_diff
-            from pathtrace_tpu.render.frame import generate_primary_rays
-
-            kray, ktrace = jax.random.split(key)
-            ro, rd, t = generate_primary_rays(
-                self.camera, self.width, self.height, self.samples, kray
-            )
-            R = self.height * self.width * self.samples
+            # differentiable fast path (custom-VJP Pallas hit kernel +
+            # row-gather shading), sharded over the mesh: trace_fast_diff
+            # runs in every shard and the shard_map transpose all-reduces
+            # the scene-parameter gradients over ICI (the north-star
+            # "gradient all-reduce overlapped with the backward sweep").
             # derive the counter-hash seed from the key so different keys
             # give independent bounce-RNG streams
-            seed = jax.random.randint(ktrace, (), 0, 2**31 - 1, dtype=jnp.int32)
-            radiance, _ = trace_fast_diff(
-                scene, ro.reshape(R, 3), rd.reshape(R, 3), t.reshape(R),
-                seed, self.max_depth, self.features,
+            seed = jax.random.randint(
+                jax.random.fold_in(key, 7), (), 0, 2**31 - 1,
+                dtype=jnp.int32,
             )
-            return radiance.reshape(
-                self.height, self.width, self.samples, 3
-            ).mean(axis=2)
+            img, _ = pmesh.render_frame_sharded(
+                scene, self.camera, self.width, self.height, self.samples,
+                self.max_depth, key, self.mesh, features=self.features,
+                differentiable=True, mode="fast", seed=seed,
+            )
+            return img
         img, _ = pmesh.render_frame_sharded(
             scene, self.camera, self.width, self.height, self.samples,
             self.max_depth, key, self.mesh, features=self.features,
@@ -170,21 +167,19 @@ class InverseRenderer:
         ``img`` is the forward render already computed by value_and_grad's
         primal pass (via the aux) — no second render.
         """
-        from pathtrace_tpu.ops.silhouette import silhouette_grads
+        from pathtrace_tpu.ops.silhouette import silhouette_grads_all
 
         scene = self.rebuild(params)
         grad_img = 2.0 * (img - target) / img.size
-        d_center, d_radius = silhouette_grads(
+        terms = silhouette_grads_all(
             scene, self.camera, self.width, self.height, grad_img,
             jax.random.fold_in(key, 0x51), max_depth=self.max_depth,
             features=self.features, n_samples=self.silhouette_samples,
         )
         out = list(grads)
         for i, name in enumerate(self.param_names):
-            if name == "spheres.center":
-                out[i] = out[i] + d_center
-            elif name == "spheres.radius":
-                out[i] = out[i] + d_radius
+            if name in terms:
+                out[i] = out[i] + terms[name]
         return type(grads)(out) if not isinstance(grads, list) else out
 
 
@@ -198,13 +193,22 @@ def make_inverse_renderer(
     mesh=None,
     trainable: Callable[[str], bool] = default_trainable,
     learning_rate: float = 2e-2,
-    use_fast_path: bool = False,
+    use_fast_path: Optional[bool] = None,
     silhouette: bool = False,
     silhouette_samples: int = 128,
 ):
-    """Build (renderer, initial TrainState, trainable-leaf names)."""
+    """Build (renderer, initial TrainState, trainable-leaf names).
+
+    ``use_fast_path=None`` (auto) trains on the sharded differentiable
+    fast path whenever the scene class supports it, falling back to the
+    general integrator otherwise.
+    """
     mesh = mesh or pmesh.make_render_mesh()
     features = SceneFeatures.from_scene(scene)
+    if use_fast_path is None:
+        from pathtrace_tpu.ops.fastpath import fastpath_supported
+
+        use_fast_path = fastpath_supported(features, scene)
     params, rebuild, names = split_scene(scene, trainable)
     renderer = InverseRenderer(
         camera=camera,

@@ -89,6 +89,12 @@ def trace_sharded(
         from pathtrace_tpu.ops import fastpath
 
         shard_R = ro.shape[0] // n_dev
+        # differentiable shards ride trace_fast_diff (XLA shading + the
+        # custom-VJP Pallas hit kernel); forward-only shards the fused
+        # Pallas shading twin. Same counter-hash RNG keyed on global lane
+        # ids either way, so both are shard-count invariant.
+        trace_dev = (fastpath.trace_fast_diff if differentiable
+                     else fastpath.trace_fast_device)
 
         @functools.partial(
             jax.shard_map,
@@ -100,7 +106,7 @@ def trace_sharded(
         )
         def _shard_fast(scene_rep, ro_s, rd_s, time_s):
             my = jax.lax.axis_index(RAY_AXIS)
-            radiance, count = fastpath.trace_fast_device(
+            radiance, count = trace_dev(
                 scene_rep, ro_s, rd_s, time_s, seed, max_depth, features,
                 lane_offset=my.astype(jnp.uint32) * jnp.uint32(shard_R),
                 alive_limit=alive_limit,
@@ -162,11 +168,13 @@ def render_frame_sharded(
     """
     n_dev = mesh.devices.size
     kray, ktrace = jax.random.split(key)
-    if mode == "fast":
+    if mode == "fast" and isinstance(seed, int):
         # the fast path's bounce RNG is seed-keyed (counter hash on global
         # lane ids; `key` is unused there by design — see trace_sharded).
         # Fold the frame key into the seed host-side so a caller varying
         # only `key` across frames still decorrelates bounce draws.
+        # (A traced seed — e.g. the inverse renderer deriving it from the
+        # step key inside jit — skips the host fold and is used as-is.)
         try:
             kd = np.asarray(jax.random.key_data(ktrace)).ravel()
             # reinterpret as int32: the fold must stay in jnp.int32 range

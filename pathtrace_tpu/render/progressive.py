@@ -73,16 +73,30 @@ def render_progressive(
 
     sphere_nearest_fn = None
     intersect_fn = None
+    bvh_fast = None
+    bvh_offsets = None
     if use_bvh or params.use_bvh:
         # -B analog: build the whole-scene BVH (every primitive kind, like
         # the reference's BVHNode over arbitrary hitables) host-side and
         # print its census (reference src/params.rs:36-43 dbg!(get_stats()))
         from pathtrace_tpu.models import bvh as pbvh
+        from pathtrace_tpu.ops.fastpath import fastpath_supported as _fsup
 
-        flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=seed)
+        # flat escape-index layout: measured faster than the wide-node
+        # alternative at every wavefront size on this device (the wide
+        # layout halves max traversal steps but doubles per-step VPU work;
+        # tools/wide_step_probe.py) — models/bvh.py keeps both.
+        flat, stats, bvh_offsets = pbvh.build_scene_bvh(scene, seed=seed)
         log(f"bvh stats: {stats}")
         flat = jax.device_put(flat)
-        intersect_fn = pbvh.make_bvh_intersect_fn(flat, offsets, features)
+        if mode in ("auto", "fast") and _fsup(features, scene) and \
+                sphere_nearest_fn is None:
+            # -B rides the fast path (Pallas shading + compaction ladder)
+            # with BVH traversal as the intersect provider
+            bvh_fast = flat
+        else:
+            intersect_fn = pbvh.make_bvh_intersect_fn(flat, bvh_offsets,
+                                                      features)
 
     scene = jax.device_put(scene)
 
@@ -113,7 +127,6 @@ def render_progressive(
         mode == "fast"
         or (mode == "auto" and fastpath_supported(features, scene)
             and sphere_nearest_fn is None and intersect_fn is None
-            and not (use_bvh or params.use_bvh)
             and nee_lights is None and rr_start == 0)
     )
 
@@ -123,6 +136,7 @@ def render_progressive(
                 scene_arg, camera, params.width, params.height, params.samples,
                 params.max_depth, key, seed * 1000003 + frame_idx, features,
                 compaction=compaction, group=group, stratify=stratify,
+                bvh=bvh_fast, bvh_offsets=bvh_offsets,
             )
     elif mode == "sharded":
         # data-parallel frame over ALL visible devices (parallel/mesh.py):

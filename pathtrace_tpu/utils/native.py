@@ -25,8 +25,13 @@ _load_failed = False
 
 
 def _ensure_built() -> bool:
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "bvh_builder.cpp"))
     if os.path.exists(_LIB_PATH):
-        return True
+        try:
+            if os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
+                return True
+        except OSError:
+            return True
     try:
         subprocess.run(
             ["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -35,7 +40,7 @@ def _ensure_built() -> bool:
             timeout=120,
         )
     except (subprocess.SubprocessError, OSError):
-        return False
+        return os.path.exists(_LIB_PATH)
     return os.path.exists(_LIB_PATH)
 
 
@@ -69,17 +74,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
         f32p, f32p, i32p, ctypes.c_int32, ctypes.c_uint64,
         f32p, f32p, i32p, i32p, i32p,
     ]
+    if hasattr(lib, "ptpu_build_bvh_v2"):
+        lib.ptpu_build_bvh_v2.restype = ctypes.c_int32
+        lib.ptpu_build_bvh_v2.argtypes = [
+            f32p, f32p, i32p, ctypes.c_int32, ctypes.c_uint64,
+            ctypes.c_int32,
+            f32p, f32p, i32p, i32p, i32p,
+        ]
     _lib = lib
     return _lib
 
 
-def native_build_bvh(bb_min, bb_max, ids, seed):
+def native_build_bvh(bb_min, bb_max, ids, seed, strategy: str = "median"):
     """Build a flattened BVH via the C++ builder.
 
-    Returns (FlatBVH, BVHStats) or None if the native lib is unavailable.
+    Returns (FlatBVH, BVHStats) or None if the native lib is unavailable
+    (or too old for the requested strategy — caller falls back to numpy).
     """
     lib = get_lib()
     if lib is None:
+        return None
+    strat = {"median": 0, "sah": 1}[strategy]
+    if strat and not hasattr(lib, "ptpu_build_bvh_v2"):
         return None
     from pathtrace_tpu.models.bvh import BVHStats, FlatBVH
 
@@ -93,10 +109,16 @@ def native_build_bvh(bb_min, bb_max, ids, seed):
     out_escape = np.empty(m_max, np.int32)
     out_prim = np.empty(m_max, np.int32)
     out_stats = np.zeros(3, np.int32)
-    m = lib.ptpu_build_bvh(
-        bb_min, bb_max, ids, n, np.uint64(seed if seed else 1),
-        out_min, out_max, out_escape, out_prim, out_stats,
-    )
+    if hasattr(lib, "ptpu_build_bvh_v2"):
+        m = lib.ptpu_build_bvh_v2(
+            bb_min, bb_max, ids, n, np.uint64(seed if seed else 1), strat,
+            out_min, out_max, out_escape, out_prim, out_stats,
+        )
+    else:
+        m = lib.ptpu_build_bvh(
+            bb_min, bb_max, ids, n, np.uint64(seed if seed else 1),
+            out_min, out_max, out_escape, out_prim, out_stats,
+        )
     if m <= 0:
         return None
     flat = FlatBVH(

@@ -131,6 +131,33 @@ class TestInverseRendering:
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
 
+    def test_fast_diff_gradients_shard_invariant(self, eight_mesh):
+        """The sharded differentiable fast path (trace_fast_diff under
+        shard_map, VERDICT r3 item 4): scene-parameter gradients from the
+        8-device mesh must match the 1-device mesh — the shard_map
+        transpose's psum IS the gradient all-reduce, and the counter-hash
+        RNG keyed on global lane ids makes the forward bit-identical."""
+        from pathtrace_tpu.parallel.mesh import make_render_mesh
+
+        scene, cam = presets.small(aspect=1.0)
+        one_mesh = make_render_mesh(jax.devices()[:1])
+        key = jax.random.PRNGKey(5)
+        target = jnp.zeros((16, 16, 3))
+        grads = {}
+        for label, mesh in (("one", one_mesh), ("eight", eight_mesh)):
+            renderer, state, names = make_inverse_renderer(
+                scene, cam, 16, 16, samples=4, max_depth=3, mesh=mesh,
+            )
+            assert renderer.use_fast_path  # auto-selected for this scene
+            g = jax.grad(renderer.loss)(state.params, target, key)
+            grads[label] = dict(zip(names, (np.asarray(x) for x in g)))
+        for name in grads["one"]:
+            np.testing.assert_allclose(
+                grads["one"][name], grads["eight"][name],
+                rtol=2e-4, atol=1e-7, err_msg=name,
+            )
+        assert np.abs(grads["one"]["spheres.center"]).max() > 0.0
+
     def test_gradients_flow_to_geometry(self, eight_mesh):
         scene, cam = presets.small(aspect=1.0)
         renderer, state, names = make_inverse_renderer(

@@ -47,6 +47,14 @@ def render(scene, key, differentiable=False):
     return img
 
 
+def _render40(scene, key):
+    """Higher-res/spp renderer for the rect/box FD tests (small-h FD needs
+    lower MC noise than the 32x32@8 default)."""
+    feats = SceneFeatures.from_scene(scene)
+    img, _ = render_frame(scene, CAM, 40, 40, 16, DEPTH, key, features=feats)
+    return img
+
+
 class TestProjection:
     def test_roundtrip_center_pixel(self):
         """A point straight ahead projects to the film center."""
@@ -133,6 +141,165 @@ class TestEdgeGradient:
         assert abs(x0 - 0.3) < 1e-6
         # moved at least 60% of the way to the truth
         assert abs(x_final) < 0.12, f"center.x {x0} -> {x_final}, want ~0"
+
+    def test_fd_vs_edge_rect(self):
+        """Rect boundary edges (cornell's geometry class): FD of the loss
+        w.r.t. an in-plane translation vs the rect edge term. Geometry uses
+        generic subpixel placement — with edges exactly on pixel
+        boundaries, the box-filter loss is one-sided there and FD-vs-
+        analytic comparison is ill-posed."""
+        from pathtrace_tpu.ops.silhouette import rect_silhouette_grads
+
+        dx0 = 0.2137
+
+        def mk(dx):
+            b = SceneBuilder()
+            b.rect_xy(-0.483 + dx, 0.517 + dx, -0.483, 0.517, 0.0, False,
+                      b.lambertian_color((0.15, 0.15, 0.15)))
+            b.sky = (0.75, 0.75, 0.75)
+            return b.finish()
+
+        key = jax.random.PRNGKey(3)
+        target = np.asarray(_render40(mk(0.0), key))
+        scene0 = mk(dx0)
+        feats = SceneFeatures.from_scene(scene0)
+        img0 = np.asarray(_render40(scene0, key))
+        grad_img = jnp.asarray(2.0 * (img0 - target) / img0.size)
+        terms = rect_silhouette_grads(
+            scene0, CAM, 40, 40, grad_img, jax.random.PRNGKey(9),
+            max_depth=DEPTH, features=feats, n_per_edge=256,
+        )
+        g_edge = float(terms["rects.a0"][0] + terms["rects.a1"][0])
+
+        def loss(dx):
+            img = _render40(mk(float(dx)), key)
+            return float(jnp.mean((jnp.asarray(img) - target) ** 2))
+
+        h = 0.004
+        g_fd = (loss(dx0 + h) - loss(dx0 - h)) / (2 * h)
+        assert np.sign(g_edge) == np.sign(g_fd)
+        assert abs(g_edge - g_fd) < 0.3 * abs(g_fd), (
+            f"fd={g_fd} edge={g_edge}"
+        )
+
+    def test_fd_vs_edge_box(self):
+        """Rotated-cuboid silhouette edges (cornell's boxes): FD w.r.t. the
+        world translation vs the box edge term on world_from_obj's
+        translation column."""
+        from pathtrace_tpu.models.build import (
+            affine_from_rotation_y_translation,
+        )
+        from pathtrace_tpu.ops.silhouette import box_silhouette_grads
+
+        dx0 = 0.2137
+
+        def mk(dx):
+            b = SceneBuilder()
+            b.box((-0.395, -0.41, -0.4), (0.405, 0.39, 0.4),
+                  b.lambertian_color((0.15, 0.15, 0.15)),
+                  affine_from_rotation_y_translation(25.0, (dx, 0.013, 0.0)))
+            b.sky = (0.75, 0.75, 0.75)
+            return b.finish()
+
+        key = jax.random.PRNGKey(3)
+        target = np.asarray(_render40(mk(0.0), key))
+        scene0 = mk(dx0)
+        feats = SceneFeatures.from_scene(scene0)
+        img0 = np.asarray(_render40(scene0, key))
+        grad_img = jnp.asarray(2.0 * (img0 - target) / img0.size)
+        terms = box_silhouette_grads(
+            scene0, CAM, 40, 40, grad_img, jax.random.PRNGKey(11),
+            max_depth=DEPTH, features=feats, n_per_edge=256,
+        )
+        g_edge = float(terms["boxes.world_from_obj"][0, 0, 3])
+
+        def loss(dx):
+            img = _render40(mk(float(dx)), key)
+            return float(jnp.mean((jnp.asarray(img) - target) ** 2))
+
+        h = 0.004
+        g_fd = (loss(dx0 + h) - loss(dx0 - h)) / (2 * h)
+        assert np.sign(g_edge) == np.sign(g_fd)
+        assert abs(g_edge - g_fd) < 0.3 * abs(g_fd), (
+            f"fd={g_fd} edge={g_edge}"
+        )
+
+    def test_box_position_recovery(self):
+        """Recover a cornell-style box's world translation from silhouette
+        signal only (flat shading). world_from_obj and obj_from_world must
+        stay consistent inverses, so the test optimizes a translation
+        vector and rebuilds both — the silhouette term's world_from_obj
+        gradient pulls back to d/d(translation) as its column 3."""
+        from pathtrace_tpu.models.build import (
+            affine_from_rotation_y_translation, invert_affine,
+        )
+        from pathtrace_tpu.ops.silhouette import box_silhouette_grads
+
+        def mk(tx):
+            b = SceneBuilder()
+            b.box((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4),
+                  b.lambertian_color((0.15, 0.15, 0.15)),
+                  affine_from_rotation_y_translation(25.0, (tx, 0.0, 0.0)))
+            b.sky = (0.75, 0.75, 0.75)
+            return b.finish()
+
+        key = jax.random.PRNGKey(1)
+        target = jnp.asarray(render(mk(0.0), key))
+        tx = 0.3
+        lr = 0.8
+        for step in range(30):
+            scene = mk(tx)
+            feats = SceneFeatures.from_scene(scene)
+            img = render(scene, jax.random.fold_in(key, step))
+            grad_img = 2.0 * (img - target) / img.size
+            terms = box_silhouette_grads(
+                scene, CAM, W, H, grad_img,
+                jax.random.fold_in(jax.random.PRNGKey(7), step),
+                max_depth=DEPTH, features=feats, n_per_edge=64,
+            )
+            g = float(terms["boxes.world_from_obj"][0, 0, 3])
+            tx -= lr * g
+        assert abs(tx) < 0.12, f"box tx 0.3 -> {tx}, want ~0"
+
+    def test_aperture_lens_integration(self):
+        """aperture > 0: each edge sample rides its own lens point (contour,
+        projection, and pair rays share it) — the estimator matches FD
+        under defocus, the VERDICT r3 item-3 aperture story."""
+        cam = make_camera((0.0, 0.0, 3.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                          45.0, 1.0, aperture=0.25, focus_dist=3.0)
+        dx0 = 0.2137
+
+        def sc(cx):
+            return flat_sphere_scene(cx)
+
+        def rend(scene, key):
+            feats = SceneFeatures.from_scene(scene)
+            img, _ = render_frame(scene, cam, 40, 40, 64, DEPTH, key,
+                                  features=feats)
+            return img
+
+        key = jax.random.PRNGKey(3)
+        target = np.asarray(rend(sc(0.0), key))
+        scene0 = sc(dx0)
+        feats = SceneFeatures.from_scene(scene0)
+        img0 = np.asarray(rend(scene0, key))
+        grad_img = jnp.asarray(2.0 * (img0 - target) / img0.size)
+        d_center, _ = silhouette_grads(
+            scene0, cam, 40, 40, grad_img, jax.random.PRNGKey(9),
+            max_depth=DEPTH, features=feats, n_samples=2048,
+        )
+        g_edge = float(d_center[0, 0])
+
+        def loss(dx):
+            img = rend(sc(float(dx)), key)
+            return float(jnp.mean((jnp.asarray(img) - target) ** 2))
+
+        h = 0.01
+        g_fd = (loss(dx0 + h) - loss(dx0 - h)) / (2 * h)
+        assert np.sign(g_edge) == np.sign(g_fd)
+        assert abs(g_edge - g_fd) < 0.3 * abs(g_fd), (
+            f"fd={g_fd} edge={g_edge}"
+        )
 
     def test_no_silhouette_grads_stall(self):
         """Control: without the boundary term the optimizer barely moves —

@@ -25,6 +25,10 @@ def main() -> int:
                     help="override _BULK_IT (slicing sweep)")
     ap.add_argument("--slices", type=int, default=None,
                     help="override _SLICE_N (slicing sweep)")
+    ap.add_argument("--wide", action="store_true",
+                    help="measure the wide-node traversal (r4 layout)")
+    ap.add_argument("--leaf-m", type=int, default=None,
+                    help="wide-leaf slot count override")
     args = ap.parse_args()
 
     from pathtrace_tpu.cli import _enable_compilation_cache
@@ -43,9 +47,16 @@ def main() -> int:
     features = SceneFeatures.from_scene(scene)
     if args.bulk is not None:
         pbvh._BULK_IT = args.bulk
+        pbvh._WIDE_BULK_IT = args.bulk
     if args.slices is not None:
         pbvh._SLICE_N = args.slices
+        pbvh._WIDE_SLICE_N = args.slices
     flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
+    if args.wide:
+        wide = pbvh.widen_flat_bvh(flat, scene, offsets, features=features,
+                                   leaf_m=args.leaf_m)
+        print(f"wide: nodes={wide.n_nodes} leaf_m={wide.leaf_m} "
+              f"W={wide.pack.shape[1]}", file=sys.stderr)
     print(f"scene={args.preset} nodes={stats.node_count} "
           f"depth={stats.max_depth} rays={args.rays}", file=sys.stderr)
 
@@ -65,10 +76,16 @@ def main() -> int:
 
     @jax.jit
     def run(ro, rd):
-        t, gid = pbvh.bvh_scene_nearest(
-            flat, scene, ro, rd, tmv, None, features=features,
-            offsets=offsets,
-        )
+        if args.wide:
+            t, gid = pbvh.wide_scene_nearest(
+                wide, scene, ro, rd, tmv, None, features=features,
+                offsets=offsets,
+            )
+        else:
+            t, gid = pbvh.bvh_scene_nearest(
+                flat, scene, ro, rd, tmv, None, features=features,
+                offsets=offsets,
+            )
         return t.sum(), (t < 1e8).sum()
 
     # warmup/compile

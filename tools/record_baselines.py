@@ -35,32 +35,26 @@ def run_frames(scene, camera, w, h, spp, depth, features, n_frames,
 
     total_rays = None
     acc = None
+    bvh = None
+    offsets = None
     if use_bvh:
         from pathtrace_tpu.models import bvh as pbvh
 
-        flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
-        flat = jax.device_put(flat)
-        intersect_fn = pbvh.make_bvh_intersect_fn(
-            flat, offsets, features
-        )
+        # -B rides the fused fast path since r4 (VERDICT r3 item 1): BVH
+        # traversal as the intersect provider + Pallas shading + ladder
+        bvh, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
+        bvh = jax.device_put(bvh)
     scene_d = jax.device_put(scene)
 
     t0 = time.perf_counter()
     for f in range(n_frames):
         key = jax.random.PRNGKey(f + 1)
-        if use_bvh:
-            from pathtrace_tpu.render.compaction import render_frame_compacted
+        from pathtrace_tpu.ops.fastpath import render_frame_fast
 
-            img, rays = render_frame_compacted(
-                scene_d, camera, w, h, spp, depth, key, features=features,
-                intersect_fn=intersect_fn,
-            )
-        else:
-            from pathtrace_tpu.ops.fastpath import render_frame_fast
-
-            img, rays = render_frame_fast(
-                scene_d, camera, w, h, spp, depth, key, f + 1, features,
-            )
+        img, rays = render_frame_fast(
+            scene_d, camera, w, h, spp, depth, key, f + 1, features,
+            bvh=bvh, bvh_offsets=offsets,
+        )
         acc = img if acc is None else acc + img
         # keep the count on device: a per-frame int() readback is a full
         # tunnel round trip and serializes the frame pipeline (PERF.md)
