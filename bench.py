@@ -9,14 +9,13 @@ shading + stream compaction), steady state after jit warmup.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md) and the
-Rust toolchain is absent from this image, so the baseline is a nominal
-estimate of the reference's throughput on a modern many-core CPU
-(~150 Mrays/s). IMPORTANT CONTEXT for reading the result: the TPU exposed
-in this environment is an emulated/throttled v5e delivering a measured
-~0.2 TFLOP/s f32 matmul — roughly 1/1000th of real v5e silicon. The
-renderer's brute-force intersection alone needs ~10 GFLOP per 1M-ray bounce,
-so this device's speed-of-light for the workload is a few Mrays/s; the same
-code on real v5e silicon scales proportionally (hundreds of Mrays/s).
+Rust toolchain is absent from this image (no egress — BASELINE.md r4
+note), so the baseline is a nominal estimate of the reference's
+throughput on a modern many-core CPU (~150 Mrays/s). IMPORTANT CONTEXT
+for reading the result: the TPU exposed in this environment is an
+emulated/throttled v5e (~0.2 TFLOP/s measured f32 matmul, ~32 GB/s
+effective elementwise bandwidth — PERF.md) — orders of magnitude under
+real v5e silicon, where the same code scales proportionally.
 
 Timing notes: `block_until_ready` does NOT block under the axon tunnel —
 only host readback does, so frames are timed to `np.asarray(...)`.

@@ -816,7 +816,11 @@ def _fast_bounce_fused_prims(
     parts = [sph_table]
     offset = sph_table.shape[0]
     if f.has_rects:
-        t_r, i_r = isect.rect_nearest_cols(
+        # small rect sets (every preset) sweep as a static python loop on
+        # [R] planes — the [R, N<128] form pays 128x lane padding per temp
+        rect_fn = (isect.rect_nearest_planes if rects.count <= 16
+                   else isect.rect_nearest_cols)
+        t_r, i_r = rect_fn(
             rects, state.rox, state.roy, state.roz,
             state.rdx, state.rdy, state.rdz,
         )

@@ -241,6 +241,46 @@ def rect_nearest_cols(rects: Rects, rox, roy, roz, rdx, rdy, rdz,
     return tbest, idx.astype(jnp.int32)
 
 
+def rect_nearest_planes(rects: Rects, rox, roy, roz, rdx, rdy, rdz,
+                        t_min=MIN_T, t_max=MAX_T):
+    """Small-N twin of :func:`rect_nearest_cols`: a static python loop
+    over the rects, all math on [R] planes with scalar rect parameters.
+
+    The [R, N] form materializes ~10 lane-padded [R, N<128] temps at
+    fusion boundaries (XLA pads the minor dim to 128 — PERF.md trap 4),
+    which at N=1 is a 128x write amplification per temp; measured +15 ms
+    per 2M-lane bounce on `simple_light` (tools/scene_compare_probe.py,
+    r4). Selected values are identical — the winner is the same
+    first-minimum argmin."""
+    R = rox.shape[0]
+    INF = jnp.float32(_INF)
+    tbest = jnp.full((R,), _INF, rox.dtype)
+    ibest = jnp.zeros((R,), jnp.int32)
+    for j in range(rects.count):
+        axis = rects.axis[j]
+        o_n = jnp.where(axis == 0, rox, jnp.where(axis == 1, roy, roz))
+        d_n = jnp.where(axis == 0, rdx, jnp.where(axis == 1, rdy, rdz))
+        o_a = jnp.where(axis == 0, roy, rox)
+        d_a = jnp.where(axis == 0, rdy, rdx)
+        o_b = jnp.where(axis == 2, roy, roz)
+        d_b = jnp.where(axis == 2, rdy, rdz)
+        d_n = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
+        t = (rects.k[j] - o_n) / d_n
+        pa = o_a + t * d_a
+        pb = o_b + t * d_b
+        ok = (
+            rects.mask[j]
+            & (t > t_min) & (t < t_max)
+            & (pa >= rects.a0[j]) & (pa <= rects.a1[j])
+            & (pb >= rects.b0[j]) & (pb <= rects.b1[j])
+        )
+        cand = jnp.where(ok, t, INF)
+        better = cand < tbest
+        tbest = jnp.where(better, cand, tbest)
+        ibest = jnp.where(better, j, ibest)
+    return tbest, ibest
+
+
 def rect_record(rects: Rects, t, idx, ro, rd) -> HitRecord:
     hit = t < _INF
     t_safe = jnp.where(hit, t, 0.0)

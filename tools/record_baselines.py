@@ -107,6 +107,10 @@ def main() -> int:
             "two_perlin_spheres", 1280, 720, 16, 4, 10, False),
         "config3_emissive_lights": (
             "simple_light", 1280, 720, 16, 4, 10, False),
+        # image-texture class (earth): the one scene family still on the
+        # XLA shading branch (atlas gather excluded from the fused kernel)
+        "config3_earth_image": (
+            "earth", 1280, 720, 16, 4, 10, False),
         # config 4: 500+ spheres, 1024 spp, compacted wavefront; both
         # paths. 128 spp per launch batches the small film into 2.56M-ray
         # wavefronts — the 8-spp grain left 160k-ray launches at the
