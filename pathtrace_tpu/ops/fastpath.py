@@ -743,20 +743,23 @@ def fast_bounce_fused(
     ``scene`` may be a full Scene or a ``(spheres, rects, boxes, media)``
     tuple — the bounce touches only the primitive groups (shading data
     rides the prebuilt tables)."""
+    atlas = None
     if hasattr(scene, "spheres"):
         prims = (scene.spheres, scene.rects, scene.boxes, scene.media)
+        if features.has_image:
+            atlas = scene.atlas.data
     else:
         prims = scene
     return _fast_bounce_fused_prims(
         tables, sky, use_gradient_sky, state, seed, depth, max_depth,
-        features, prims,
+        features, prims, atlas=atlas,
     )
 
 
 def _fast_bounce_fused_prims(
     tables, sky, use_gradient_sky, state: FastStateP,
     seed, depth, max_depth: int, features: SceneFeatures, prims,
-    cull: bool = False, bvh=None, bvh_offsets=None,
+    cull: bool = False, bvh=None, bvh_offsets=None, atlas=None,
 ):
     from pathtrace_tpu.ops import intersect as isect
     from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas_cols
@@ -802,7 +805,7 @@ def _fast_bounce_fused_prims(
         table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return _fused_shade_from_winners(
             table, idx, t, state, seed, depth, max_depth, features,
-            sky, use_gradient_sky,
+            sky, use_gradient_sky, atlas=atlas,
         )
     if f.has_spheres:
         t, idx = sphere_nearest_pallas_cols(
@@ -855,12 +858,67 @@ def _fast_bounce_fused_prims(
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return _fused_shade_from_winners(
         table, idx, t, state, seed, depth, max_depth, features,
-        sky, use_gradient_sky,
+        sky, use_gradient_sky, atlas=atlas,
     )
 
 
+def _image_rgb_planes(atlas, t, attrs, state: FastStateP,
+                      features: SceneFeatures):
+    """XLA pre-pass for image textures on the fused path: winner UV + ONE
+    atlas row gather, all on [R] planes. Mirrors ``fast_bounce``'s image
+    branch operation-for-operation (sphere UV from the unit normal,
+    reference src/material.rs:41-49; rect UV from in-plane fractions,
+    rect.rs:93-160; same v-flip and -0.001 bias, texture.rs:28-30) so the
+    fused path's texels are identical to the XLA shading path's."""
+    f = features
+    hit = t < _INF
+    ts = jnp.where(hit, t, 0.0)
+    px = state.rox + ts * state.rdx
+    py = state.roy + ts * state.rdy
+    pz = state.roz + ts * state.rdz
+    cx, cy, cz = attrs[:, GEO], attrs[:, GEO + 1], attrs[:, GEO + 2]
+    if f.has_motion:
+        s = (state.time - attrs[:, GEO + 6]) * attrs[:, GEO + 7]
+        cx = cx + s * attrs[:, GEO + 3]
+        cy = cy + s * attrs[:, GEO + 4]
+        cz = cz + s * attrs[:, GEO + 5]
+    inv_r = 1.0 / jnp.where(jnp.abs(attrs[:, GEO + 8]) < 1e-12, 1.0,
+                            attrs[:, GEO + 8])
+    nx = (px - cx) * inv_r
+    ny = (py - cy) * inv_r
+    phi = jnp.arctan2(nx, ny)
+    theta = jnp.arcsin(jnp.clip(ny, -1.0, 1.0))
+    uu = 1.0 - (phi + 3.14159265) * (0.5 / 3.14159265)
+    vv = (theta + 1.5707963) * (1.0 / 3.14159265)
+    if f.has_rects:
+        kind = attrs[:, COL_KIND]
+        axis_r = attrs[:, GEO + 0].astype(jnp.int32)
+        pa = jnp.where(axis_r == 0, py, px)
+        pb = jnp.where(axis_r == 2, py, pz)
+        da = attrs[:, GEO + 2] - attrs[:, GEO + 1]
+        db = attrs[:, GEO + 4] - attrs[:, GEO + 3]
+        da = jnp.where(jnp.abs(da) < 1e-12, 1.0, da)
+        db = jnp.where(jnp.abs(db) < 1e-12, 1.0, db)
+        u_r = (pa - attrs[:, GEO + 1]) / da
+        v_r = (pb - attrs[:, GEO + 3]) / db
+        uu = jnp.where(kind == KIND_RECT, u_r, uu)
+        vv = jnp.where(kind == KIND_RECT, v_r, vv)
+    k_attr = attrs.shape[1]
+    img_y = attrs[:, k_attr - 3]
+    img_h = attrs[:, k_attr - 2]
+    img_w = attrs[:, k_attr - 1]
+    ii = jnp.clip((uu * img_w).astype(jnp.int32), 0,
+                  jnp.maximum(img_w.astype(jnp.int32) - 1, 0))
+    jj = jnp.clip(((1.0 - vv) * img_h - 0.001).astype(jnp.int32), 0,
+                  jnp.maximum(img_h.astype(jnp.int32) - 1, 0))
+    w_atlas = atlas.shape[1]
+    flat_idx = (img_y.astype(jnp.int32) + jj) * w_atlas + ii
+    texel = atlas.reshape(-1, 3)[flat_idx]               # ONE row gather
+    return texel[:, 0], texel[:, 1], texel[:, 2]
+
+
 def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
-                              features, sky, use_gradient_sky):
+                              features, sky, use_gradient_sky, atlas=None):
     """Shared tail of the fused bounce: ONE winner row gather + the fused
     Pallas shading kernel (brute and BVH intersect providers both land
     here, so their shading is the same program byte-for-byte)."""
@@ -874,6 +932,10 @@ def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
     R, K = attrs.shape
     attrs3 = attrs.reshape(R // 128, 128, K).transpose(0, 2, 1)
 
+    img_planes = None
+    if features.has_image:
+        img_planes = _image_rgb_planes(atlas, t, attrs, state, features)
+
     state_planes = {
         "rox": state.rox, "roy": state.roy, "roz": state.roz,
         "rdx": state.rdx, "rdy": state.rdy, "rdz": state.rdz,
@@ -885,7 +947,7 @@ def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
     }
     outs = shade_bounce_planes(
         t, attrs3, state_planes, seed, depth, sky, use_gradient_sky,
-        features, max_depth,
+        features, max_depth, img_planes=img_planes,
     )
     return state._replace(
         rox=outs[0], roy=outs[1], roz=outs[2],
@@ -899,7 +961,7 @@ def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
 def _bounce_group_fused(tables, sky, grad_sky, state, seed,
                         depth0, max_depth, features, prims,
                         group: int = 1, cull_first: bool = False,
-                        bvh=None, bvh_offsets=None):
+                        bvh=None, bvh_offsets=None, atlas=None):
     """``prims``: (spheres, rects, boxes, media) with absent kinds None —
     the bounce needs no other scene leaves (shading data is in the
     prebuilt tables), and keeping unused pytrees out of the signature
@@ -919,7 +981,7 @@ def _bounce_group_fused(tables, sky, grad_sky, state, seed,
         state = _fast_bounce_fused_prims(
             tables, sky, grad_sky, state, seed, depth0 + g,
             max_depth, features, prims, cull=(cull_first and g == 0),
-            bvh=bvh, bvh_offsets=bvh_offsets,
+            bvh=bvh, bvh_offsets=bvh_offsets, atlas=atlas,
         )
     return state, segs
 
@@ -1052,8 +1114,8 @@ def trace_fast_device(
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
     assert fused_shade_supported(features), (
-        "trace_fast_device covers fused-shading scenes; image-texture "
-        "scenes shard via the general integrator"
+        "trace_fast_device covers fused-shading scenes; image-on-"
+        "boxes/media scenes shard via the general integrator"
     )
     R = ro.shape[0]
     assert R % 1024 == 0, "pad the per-shard ray count to 1024"
@@ -1075,13 +1137,14 @@ def trace_fast_device(
         alive=alive, lane=lane,
     )
     prims = _scene_prims(scene, features)
+    atlas = scene.atlas.data if features.has_image else None
 
     def step(carry, depth):
         st, segs = carry
         segs = segs + jnp.sum(st.alive, dtype=jnp.int32)
         st = _fast_bounce_fused_prims(
             tables, sky, grad_sky, st, seed_arr, depth, max_depth,
-            features, prims,
+            features, prims, atlas=atlas,
         )
         return (st, segs), None
 
@@ -1287,6 +1350,7 @@ def trace_fast(
         R0 = ro.shape[0]
 
         prims = _scene_prims(scene, features)
+        atlas = scene.atlas.data if features.has_image else None
         n_tiles = (scene.spheres.center.shape[0] + 127) // 128
         cull_scene = (
             bvh is None
@@ -1302,7 +1366,7 @@ def trace_fast(
                 tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
                 max_depth, features, prims, group=g,
                 cull_first=cull_scene and depth == 0,
-                bvh=bvh, bvh_offsets=bvh_offsets,
+                bvh=bvh, bvh_offsets=bvh_offsets, atlas=atlas,
             )
 
         def make_state(lo, hi, rp=None):

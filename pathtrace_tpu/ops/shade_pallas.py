@@ -17,9 +17,11 @@ is a dense ``(rows, 128)`` f32 tile.
 The math MIRRORS :func:`pathtrace_tpu.ops.fastpath.fast_bounce` operation
 for operation (same RNG, same select order, same guards), so the fused and
 XLA shading paths are bit-identical — `tests/test_shade_pallas.py` enforces
-it. Covers sphere/rect scenes with every material and constant/checker/
-noise textures; scenes with boxes, media, or image textures (which need an
-atlas gather XLA must do) stay on the XLA shading path.
+it. Covers every scene class: image textures ride an XLA pre-pass
+(`fastpath._image_rgb_planes` — UV + ONE atlas row gather on [R] planes)
+whose texel planes the kernel selects where ``tex_kind == IMAGE``; only
+image-on-boxes/media scenes stay on the XLA shading path (see
+``fused_shade_supported``).
 
 Reference role: this is the shading half of the reference's innermost
 loop — the part of ``src/collision/spheres_soa.rs`` + ``src/material.rs``
@@ -43,6 +45,7 @@ from pathtrace_tpu.models.types import (
     MAT_METAL,
     SceneFeatures,
     TEX_CHECKER,
+    TEX_IMAGE,
     TEX_NOISE,
 )
 from pathtrace_tpu.ops.fastpath import (
@@ -68,8 +71,18 @@ _STATE_FIELDS = (
 
 
 def fused_shade_supported(features: SceneFeatures) -> bool:
-    """Every scene class except image textures, whose atlas lookup is an
-    XLA gather mid-shade (sphere UV -> texel fetch)."""
+    """Every scene class except image textures.
+
+    The kernel CAN shade image scenes (``img_planes`` from the XLA UV +
+    atlas-gather pre-pass, ``fastpath._image_rgb_planes`` — implemented,
+    bit-matches the XLA branch, exercised by tests), but measured
+    end-to-end it LOSES on the image scene family: `earth` has no noise
+    octaves, so the fused kernel's big win (in-kernel turbulence on
+    packed planes) never fires, while the pre-pass re-pays the UV math
+    and winner-column extracts the XLA branch pays anyway —
+    epoch-adjusted 1280x720@16spp: XLA branch ~12 Mrays/s vs fused ~7
+    (r4, BASELINE_MEASURED/PERF.md). Routing follows the measurement;
+    flip here if an image+noise workload appears."""
     return not features.has_image
 
 
@@ -85,7 +98,14 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
     (rox, roy, roz, rdx, rdy, rdz, time,
      thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
      alive_f, lane_i) = [refs[base + k][...] for k in range(len(_STATE_FIELDS))]
-    outs = refs[base + len(_STATE_FIELDS):]
+    base += len(_STATE_FIELDS)
+    img_rgb = None
+    if f.has_image:
+        # atlas texels pre-fetched by the XLA pre-pass (the one gather the
+        # kernel cannot do); selected per lane where tex_kind == IMAGE
+        img_rgb = [refs[base + k][...] for k in range(3)]
+        base += 3
+    outs = refs[base:]
 
     seed = si[0, 0]
     depth = si[0, 1]
@@ -193,6 +213,12 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
         rgb_r = jnp.where(is_noise, marble, rgb_r)
         rgb_g = jnp.where(is_noise, marble, rgb_g)
         rgb_b = jnp.where(is_noise, marble, rgb_b)
+    if f.has_image:
+        # mirrors fast_bounce's image branch order (applied after noise)
+        is_img = tex_kind == float(TEX_IMAGE)
+        rgb_r = jnp.where(is_img, img_rgb[0], rgb_r)
+        rgb_g = jnp.where(is_img, img_rgb[1], rgb_g)
+        rgb_b = jnp.where(is_img, img_rgb[2], rgb_b)
 
     mat_kind = a[0]
     sky_t = 0.5 * (rdy + 1.0)
@@ -313,7 +339,7 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
 
 def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
                         sky, use_gradient_sky, features: SceneFeatures,
-                        max_depth: int):
+                        max_depth: int, img_planes=None):
     """Run the fused shade/scatter kernel on one wavefront.
 
     ``t``: [R] hit distances. ``attrs3``: (R//128, K, 128) winner-attribute
@@ -322,6 +348,8 @@ def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
     transpose instead of K strided column extracts).
     ``state_planes``: dict with keys ``_STATE_FIELDS`` ([R] planes;
     ``alive`` f32 0/1, ``lane`` int32 bit-pattern of the uint32 lane ids).
+    ``img_planes``: 3 [R] texel planes from the XLA atlas pre-pass,
+    required when ``features.has_image``.
     Returns 13 output planes: ro xyz, rd xyz, radiance rgb, throughput rgb,
     alive (f32 0/1).
     """
@@ -354,6 +382,11 @@ def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
     inputs = [si, sf, plane(t), attrs3]
     for name in _STATE_FIELDS:
         inputs.append(plane(state_planes[name]))
+    n_extra = 0
+    if features.has_image:
+        assert img_planes is not None and len(img_planes) == 3
+        inputs.extend(plane(p) for p in img_planes)
+        n_extra = 3
 
     smem_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
     smem_spec4 = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -370,7 +403,8 @@ def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem_spec, smem_spec4, pspec, aspec] + [pspec] * n_state,
+        in_specs=[smem_spec, smem_spec4, pspec, aspec]
+        + [pspec] * (n_state + n_extra),
         out_specs=tuple([ospec] * 13),
         out_shape=tuple(out_shape),
         interpret=jax.default_backend() != "tpu",

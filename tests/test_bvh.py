@@ -21,21 +21,27 @@ def sphere_scene():
     return scene
 
 
-@pytest.fixture(scope="module", params=["numpy", "native"])
+@pytest.fixture(
+    scope="module",
+    params=["numpy", "native", "numpy-sah", "native-sah"],
+)
 def built(request, sphere_scene):
     mn, mx = pbvh.sphere_aabbs(sphere_scene.spheres)
-    if request.param == "native":
+    backend, _, strategy = request.param.partition("-")
+    strategy = strategy or "median"
+    if backend == "native":
         from pathtrace_tpu.utils.native import native_build_bvh
 
         ids = np.arange(mn.shape[0], dtype=np.int32)[
             np.asarray(sphere_scene.spheres.mask)
         ]
-        out = native_build_bvh(mn, mx, ids, seed=1)
+        out = native_build_bvh(mn, mx, ids, seed=1, strategy=strategy)
         if out is None:
             pytest.skip("native builder unavailable")
         return out
     return pbvh.build_flat_bvh(
-        mn, mx, mask=sphere_scene.spheres.mask, seed=1, use_native=False
+        mn, mx, mask=sphere_scene.spheres.mask, seed=1, use_native=False,
+        strategy=strategy,
     )
 
 
@@ -45,8 +51,29 @@ class TestBuild:
         n_prims = int(np.asarray(sphere_scene.spheres.mask).sum())
         assert stats.leaf_count == n_prims
         assert stats.node_count == 2 * n_prims - 1
-        # balanced median split: depth ~ log2(n) + 1
-        assert stats.max_depth <= int(np.ceil(np.log2(n_prims))) + 2
+        # median split is balanced (depth ~ log2(n) + 1); SAH may go a few
+        # levels deeper where lopsided splits are cheaper, bounded by the
+        # builders' depth-64 guard
+        assert stats.max_depth <= 2 * int(np.ceil(np.log2(n_prims))) + 2
+
+    def test_native_sah_matches_numpy_exactly(self, sphere_scene):
+        """SAH is deterministic (no rng): the C++ builder must reproduce
+        the numpy builder's tree node-for-node (same cost function, same
+        stable sort keys, same first-minimum tie-breaking)."""
+        from pathtrace_tpu.utils.native import native_build_bvh
+
+        mn, mx = pbvh.sphere_aabbs(sphere_scene.spheres)
+        ids = np.arange(mn.shape[0], dtype=np.int32)[
+            np.asarray(sphere_scene.spheres.mask)
+        ]
+        nat = native_build_bvh(mn, mx, ids, seed=1, strategy="sah")
+        if nat is None:
+            pytest.skip("native builder unavailable")
+        ref, _ = pbvh._build_numpy_sah(mn, mx, ids)
+        np.testing.assert_array_equal(nat[0].prim, ref.prim)
+        np.testing.assert_array_equal(nat[0].escape, ref.escape)
+        np.testing.assert_array_equal(nat[0].bb_min, ref.bb_min)
+        np.testing.assert_array_equal(nat[0].bb_max, ref.bb_max)
 
     def test_escape_indices_well_formed(self, built):
         flat, _ = built

@@ -99,6 +99,30 @@ class TestFusedParity:
                                       jnp.int32(depth), 8, feats, scene=scene)
             assert_states_close(s1, s2)
 
+    def test_image_scene_kernel_matches_xla(self):
+        """The fused kernel's image-texture capability (img_planes from the
+        XLA UV + atlas-gather pre-pass): bit-level mirror of fast_bounce's
+        image branch. Not the default route for image scenes (see
+        fused_shade_supported's measured justification) — exercised
+        directly here so the capability stays green."""
+        scene, cam = presets.from_name("earth", aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        assert not fused_shade_supported(feats)  # routing stays XLA
+        tables, sky, gsky = fp.prep_tables(scene, feats)
+        ro, rd, tm = camera_rays(cam, 1024)
+        s1, s2 = make_states(ro, rd, tm)
+        seed = jnp.int32(13)
+        prims = fp._scene_prims(scene, feats)
+        atlas = scene.atlas.data
+        for depth in range(3):
+            s1 = fp.fast_bounce(tables, sky, gsky, s1, seed,
+                                jnp.int32(depth), 8, feats, scene=scene)
+            s2 = fp._fast_bounce_fused_prims(
+                tables, sky, gsky, s2, seed, jnp.int32(depth), 8, feats,
+                prims, atlas=atlas,
+            )
+            assert_states_close(s1, s2)
+
     def test_trace_fast_pads_ragged_wavefronts(self):
         """Non-multiple-of-128 wavefronts are padded with born-dead lanes;
         each ray's result is unchanged (per-lane RNG, no cross-ray state)."""
