@@ -1031,6 +1031,8 @@ def trace_fast_diff(
     features: SceneFeatures,
     lane_offset=0,
     alive_limit: Optional[int] = None,
+    bvh=None,
+    bvh_offsets=None,
 ):
     """Differentiable fast trace: lax.scan over the full bounce budget.
 
@@ -1048,6 +1050,10 @@ def trace_fast_diff(
     (psum of replicated-input cotangents) over ICI automatically.
     """
     assert fastpath_supported(features, scene)
+    assert bvh is None, (
+        "the BVH traversal's while_loop is not reverse-differentiable; "
+        "differentiate via the brute fast path or the general integrator"
+    )
     R = ro.shape[0]
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
@@ -1092,6 +1098,8 @@ def trace_fast_device(
     features: SceneFeatures,
     lane_offset=0,
     alive_limit: Optional[int] = None,
+    bvh=None,
+    bvh_offsets=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-device fused fast trace: ``lax.scan`` over the bounce budget,
     no host loop, no compaction. jit- and ``shard_map``-composable — the
@@ -1145,6 +1153,7 @@ def trace_fast_device(
         st = _fast_bounce_fused_prims(
             tables, sky, grad_sky, st, seed_arr, depth, max_depth,
             features, prims, atlas=atlas,
+            bvh=bvh, bvh_offsets=bvh_offsets,
         )
         return (st, segs), None
 
@@ -1338,7 +1347,7 @@ def trace_fast(
     # with wavefront size, so ANY shrink pays on the BVH path, while the
     # cheap brute bounces only profit from strong (>= 1/0.35x) shrinks
     shrink = 0.9 if bvh is not None else COMPACT_SHRINK
-    count_skip = (1 << 14) if bvh is not None else COUNT_SKIP_SIZE
+    count_skip = BVH_COUNT_SKIP if bvh is not None else COUNT_SKIP_SIZE
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
 
@@ -1501,6 +1510,11 @@ COMPACT_SHRINK = 0.35
 # Static sphere scenes spanning at least this many 128-sphere tiles use the
 # in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.
 CULL_MIN_TILES = 8
+
+# BVH-mode count-skip floor: traversal bounces are ~20x a brute bounce, so
+# count reads (and the compactions they enable) pay down to much smaller
+# rungs than on the brute path. Patchable.
+BVH_COUNT_SKIP = 1 << 14
 
 # Default bounces per dispatch. Swept repeatedly as the ladder evolved:
 # g3 with the two-tier ladder (r2); after the rays-in-lanes kernel

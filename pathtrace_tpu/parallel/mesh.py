@@ -60,6 +60,8 @@ def trace_sharded(
     mode: str = "general",
     seed: int = 0,
     alive_limit: int = None,
+    bvh=None,
+    bvh_offsets=None,
 ):
     """Trace a wavefront sharded over the mesh's ray axis.
 
@@ -110,6 +112,7 @@ def trace_sharded(
                 scene_rep, ro_s, rd_s, time_s, seed, max_depth, features,
                 lane_offset=my.astype(jnp.uint32) * jnp.uint32(shard_R),
                 alive_limit=alive_limit,
+                bvh=bvh, bvh_offsets=bvh_offsets,
             )
             total = jax.lax.psum(count, RAY_AXIS)
             return radiance, total
@@ -153,6 +156,8 @@ def render_frame_sharded(
     differentiable: bool = False,
     mode: str = "general",
     seed: int = 0,
+    bvh=None,
+    bvh_offsets=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-frame render with the sample grid sharded across the mesh.
 
@@ -213,7 +218,7 @@ def render_frame_sharded(
         scene, ro, rd, time, ktrace, max_depth, mesh,
         features=features, sphere_nearest_fn=sphere_nearest_fn,
         differentiable=differentiable, mode=mode, seed=seed,
-        alive_limit=alive_limit,
+        alive_limit=alive_limit, bvh=bvh, bvh_offsets=bvh_offsets,
     )
     radiance = radiance[:R]
     img = radiance.reshape(height, width, samples, 3).mean(axis=2)

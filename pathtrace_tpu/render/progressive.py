@@ -89,10 +89,16 @@ def render_progressive(
         flat, stats, bvh_offsets = pbvh.build_scene_bvh(scene, seed=seed)
         log(f"bvh stats: {stats}")
         flat = jax.device_put(flat)
-        if mode in ("auto", "fast") and _fsup(features, scene) and \
-                sphere_nearest_fn is None:
+        from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
+
+        ok_fast = _fsup(features, scene) and sphere_nearest_fn is None
+        if mode in ("auto", "fast") and ok_fast:
             # -B rides the fast path (Pallas shading + compaction ladder)
             # with BVH traversal as the intersect provider
+            bvh_fast = flat
+        elif mode == "sharded" and ok_fast and fused_shade_supported(features):
+            # -B inside shard_map: trace_fast_device takes the traversal
+            # as its intersect provider in every shard
             bvh_fast = flat
         else:
             intersect_fn = pbvh.make_bvh_intersect_fn(flat, bvh_offsets,
@@ -161,6 +167,7 @@ def render_progressive(
                 features=features, sphere_nearest_fn=sphere_nearest_fn,
                 mode="fast" if shard_fast else "general",
                 seed=seed * 1000003 + frame_idx,
+                bvh=bvh_fast, bvh_offsets=bvh_offsets,
             )
     elif mode == "compacted" or (mode == "auto" and intersect_fn is not None):
         # general integrator under the host-driven compaction ladder. -B in
