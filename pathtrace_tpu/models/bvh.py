@@ -616,6 +616,7 @@ def bvh_scene_nearest(
     t_max=MAX_T,
     features: Optional[SceneFeatures] = None,
     offsets=(0, 0, 0, 0),
+    bulk_it: Optional[int] = None,
 ):
     """Stackless wavefront traversal over the whole-scene BVH.
 
@@ -744,7 +745,8 @@ def bvh_scene_nearest(
     return _run_traversal(
         cond, make_step, ro, rd, rcp, time, med_u, R, n_nodes, t_max,
         need_med=(has_other and f.has_media),
-        bulk_it=_BULK_IT, slice_n=_SLICE_N,
+        bulk_it=_BULK_IT if bulk_it is None else bulk_it,
+        slice_n=_SLICE_N,
     )
 
 

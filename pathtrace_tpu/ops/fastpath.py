@@ -760,6 +760,7 @@ def _fast_bounce_fused_prims(
     tables, sky, use_gradient_sky, state: FastStateP,
     seed, depth, max_depth: int, features: SceneFeatures, prims,
     cull: bool = False, bvh=None, bvh_offsets=None, atlas=None,
+    bvh_first: bool = True,
 ):
     from pathtrace_tpu.ops import intersect as isect
     from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas_cols
@@ -787,13 +788,22 @@ def _fast_bounce_fused_prims(
             )
         ro3 = jnp.stack([state.rox, state.roy, state.roz], axis=1)
         rd3 = jnp.stack([state.rdx, state.rdy, state.rdz], axis=1)
-        nearest = (wide_scene_nearest if isinstance(bvh, WideBVH)
-                   else bvh_scene_nearest)
-        t, gid = nearest(
-            bvh, _PrimScene(spheres, rects, boxes, media), ro3, rd3,
-            state.time, med_u, MIN_T, MAX_T, features=f,
-            offsets=bvh_offsets,
-        )
+        if isinstance(bvh, WideBVH):
+            t, gid = wide_scene_nearest(
+                bvh, _PrimScene(spheres, rects, boxes, media), ro3, rd3,
+                state.time, med_u, MIN_T, MAX_T, features=f,
+                offsets=bvh_offsets,
+            )
+        else:
+            # depth-aware bulk hint (bvh_first is static per bounce-group
+            # program); BVH_BOUNCE_BULK=None keeps the uniform bulk — the
+            # short-bounce-bulk experiment measured WORSE (see the knob)
+            t, gid = bvh_scene_nearest(
+                bvh, _PrimScene(spheres, rects, boxes, media), ro3, rd3,
+                state.time, med_u, MIN_T, MAX_T, features=f,
+                offsets=bvh_offsets,
+                bulk_it=None if bvh_first else BVH_BOUNCE_BULK,
+            )
         box_rows = box_table.shape[0] if box_table is not None else 0
         idx = _gid_to_table_row(gid, bvh_offsets, sph_table.shape[0],
                                 box_rows)
@@ -961,7 +971,8 @@ def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
 def _bounce_group_fused(tables, sky, grad_sky, state, seed,
                         depth0, max_depth, features, prims,
                         group: int = 1, cull_first: bool = False,
-                        bvh=None, bvh_offsets=None, atlas=None):
+                        bvh=None, bvh_offsets=None, atlas=None,
+                        bvh_first: bool = True):
     """``prims``: (spheres, rects, boxes, media) with absent kinds None —
     the bounce needs no other scene leaves (shading data is in the
     prebuilt tables), and keeping unused pytrees out of the signature
@@ -982,11 +993,13 @@ def _bounce_group_fused(tables, sky, grad_sky, state, seed,
             tables, sky, grad_sky, state, seed, depth0 + g,
             max_depth, features, prims, cull=(cull_first and g == 0),
             bvh=bvh, bvh_offsets=bvh_offsets, atlas=atlas,
+            bvh_first=(bvh_first and g == 0),
         )
     return state, segs
 
 
-_STATICS = ("max_depth", "features", "group", "cull_first", "bvh_offsets")
+_STATICS = ("max_depth", "features", "group", "cull_first", "bvh_offsets",
+            "bvh_first")
 # Two compilations of the same bounce group: the depth-0 dispatch must NOT
 # donate (its state planes wrap the CALLER's ro/rd/time arrays, which the
 # caller may reuse — e.g. rendering the same rays twice); every later
@@ -1376,6 +1389,7 @@ def trace_fast(
                 max_depth, features, prims, group=g,
                 cull_first=cull_scene and depth == 0,
                 bvh=bvh, bvh_offsets=bvh_offsets, atlas=atlas,
+                bvh_first=(depth == 0),
             )
 
         def make_state(lo, hi, rp=None):
@@ -1515,6 +1529,16 @@ CULL_MIN_TILES = 8
 # count reads (and the compactions they enable) pay down to much smaller
 # rungs than on the brute path. Patchable.
 BVH_COUNT_SKIP = 1 << 14
+
+# Traversal bulk iterations for non-camera BVH bounces (None = same as
+# camera bounces, models/bvh._BULK_IT). Scattered rays finish in ~8 node
+# visits at p50 on SAH trees vs ~26 for camera rays, so a short bounce
+# bulk looked attractive — but MEASURED WORSE (config4_bvh 23.8 -> 139.6 s
+# at bulk 10): every saved full-wavefront lock-step returns as extra
+# iterations in the 16 SEQUENTIAL tail slices, whose per-step cost is
+# latency-floored (~2 ms at 64k) regardless of live-lane count. Left as a
+# knob; the uniform bulk is the measured optimum.
+BVH_BOUNCE_BULK = None
 
 # Default bounces per dispatch. Swept repeatedly as the ladder evolved:
 # g3 with the two-tier ladder (r2); after the rays-in-lanes kernel
