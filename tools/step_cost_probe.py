@@ -87,33 +87,10 @@ def main() -> int:
     g4 = bench(chain_gather(4), "raygen + 4 chained gathers")
     print(f"  -> marginal gather: {(g4-g1)/3*1e3:.1f} ms", flush=True)
 
-    # fixed-K traversal steps via monkeypatched knobs: bulk=K, slices
-    # disabled by using R not divisible... simplest: call the body directly
+    # per-step cost via full-traversal bulk sweep: the bulk=K vs bulk=2K
+    # difference / K is the marginal full-wavefront step cost (the sliced
+    # tail absorbs the remainder either way)
     import pathtrace_tpu.models.bvh as B
-
-    def fixed_steps_flat(K):
-        @jax.jit
-        def f(seed):
-            ro, rd = dev_rays(seed)
-            rcp = 1.0 / jnp.where(jnp.abs(rd) < 1e-12, 1e-12, rd)
-            # rebuild the step body exactly as bvh_scene_nearest does by
-            # calling it with a node budget: run fori_loop over the plain
-            # body via the public fn but monkeypatched _BULK_IT=K and a
-            # cond that stops at it>=K is not exposed; emulate with the
-            # internal make_step by copying init structure
-            # -> use the exported machinery: traversal with while disabled
-            # is not exposed; instead rely on bulk-only timing:
-            # bulk=K, then slices exit after cond. Approximation is fine.
-            old_bulk, old_slice = B._BULK_IT, B._SLICE_N
-            raise SystemExit("unused")
-        return f
-
-    # simpler: time full traversal with bulk=K vs bulk=2K at slice_n=16;
-    # difference / K = per-step cost at 1M (slices absorb the rest).
-    for name, fn_builder, knob in (
-        ("flat", lambda: flat, "_BULK_IT"),
-    ):
-        pass
 
     for K in (16, 32):
         B._BULK_IT = K
