@@ -195,6 +195,29 @@ class TestFastPathBVH:
         assert (np.asarray(out_x.alive) == np.asarray(out_f.alive)).mean() \
             >= 0.999
 
+    def test_image_scene_bvh_on_xla_branch(self):
+        """-B on an image-texture scene: fastpath supports it but fused
+        shading doesn't, so trace_fast routes the BVH through the
+        XLA-shading branch (nearest_hit_attrs with bvh) — must match the
+        brute fast path statistically end-to-end."""
+        scene, cam = presets.from_name("earth", aspect=2.0, seed=0)
+        feats = SceneFeatures.from_scene(scene)
+        from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
+
+        assert not fused_shade_supported(feats)
+        flat, _, offsets = pbvh.build_scene_bvh(scene, seed=0)
+        key = jax.random.PRNGKey(8)
+        img_b, rays_b = fp.render_frame_fast(
+            scene, cam, 64, 32, 2, 6, key, 321, feats
+        )
+        img_v, rays_v = fp.render_frame_fast(
+            scene, cam, 64, 32, 2, 6, key, 321, feats,
+            bvh=flat, bvh_offsets=offsets,
+        )
+        diff = np.abs(np.asarray(img_b) - np.asarray(img_v))
+        assert diff.mean() < 1e-3
+        assert abs(int(rays_b) - int(rays_v)) <= max(int(rays_b), 1) * 0.01
+
     def test_sharded_bvh_bit_identical_to_single_device(self):
         """-B inside shard_map (trace_fast_device with the traversal as
         intersect provider): the 8-device mesh must be bit-identical to

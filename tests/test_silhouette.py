@@ -301,6 +301,37 @@ class TestEdgeGradient:
             f"fd={g_fd} edge={g_edge}"
         )
 
+    def test_silhouette_grads_all_mixed_scene(self):
+        """The dict API covers every family present in a mixed scene with
+        leaf-path keys matching split_scene's names."""
+        from pathtrace_tpu.models.build import (
+            affine_from_rotation_y_translation,
+        )
+        from pathtrace_tpu.ops.silhouette import silhouette_grads_all
+
+        b = SceneBuilder()
+        b.sphere((-0.8, 0.0, 0.0), 0.4, b.lambertian_color((0.2, 0.2, 0.2)))
+        b.rect_xy(-0.3, 0.3, -0.3, 0.3, -0.5, False,
+                  b.lambertian_color((0.2, 0.2, 0.2)))
+        b.box((0.5, -0.3, -0.3), (1.1, 0.3, 0.3),
+              b.lambertian_color((0.2, 0.2, 0.2)),
+              affine_from_rotation_y_translation(15.0, (0.0, 0.0, 0.0)))
+        b.sky = (0.75, 0.75, 0.75)
+        scene = b.finish()
+        feats = SceneFeatures.from_scene(scene)
+        grad_img = jnp.ones((H, W, 3)) * 1e-3
+        terms = silhouette_grads_all(
+            scene, CAM, W, H, grad_img, jax.random.PRNGKey(2),
+            max_depth=2, features=feats, n_samples=64,
+        )
+        expected = {"spheres.center", "spheres.radius",
+                    "rects.a0", "rects.a1", "rects.b0", "rects.b1",
+                    "rects.k", "boxes.p0", "boxes.p1",
+                    "boxes.world_from_obj"}
+        assert expected == set(terms)
+        for k, v in terms.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+
     def test_no_silhouette_grads_stall(self):
         """Control: without the boundary term the optimizer barely moves —
         proving the recovery above is the edge term's doing."""
