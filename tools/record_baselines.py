@@ -99,9 +99,13 @@ def main() -> int:
     _enable_compilation_cache()
 
     specs = {
-        # config 2: defocus-blur camera, 1280x720 @ 128spp (32 x 4spp frames)
+        # config 2: defocus-blur camera, 1280x720 @ 128spp. 16-spp launches
+        # (8 frames): the config is wall-clock TO 128 spp and the launch
+        # schedule is ours — r4 sweep: 4spp 12.26s / 8spp 10.32 / 16spp
+        # 9.19 (bigger launches amortize per-frame fixed costs; same
+        # reasoning as config4's 128-spp batching)
         "config2_1280x720_128spp": (
-            "random_spheres", 1280, 720, 128, 4, 10, False),
+            "random_spheres", 1280, 720, 128, 16, 10, False),
         # config 3: textured + emissive classes at the default film
         "config3_perlin_textured": (
             "two_perlin_spheres", 1280, 720, 16, 4, 10, False),
