@@ -931,6 +931,7 @@ _WIDE_BULK_IT = 8
 _WIDE_SLICE_N = 16
 
 
+
 def wide_scene_nearest(
     bvh: WideBVH,
     scene,
@@ -1114,6 +1115,9 @@ def _run_traversal(cond, make_step, ro, rd, rcp, time, med_u, R, n_nodes,
     ro_p, rd_p, rcp_p = ro[order], rd[order], rcp[order]
     med_u_p = med_u[order] if need_med else None
 
+    # (A geometric mid-phase — bounded fori over the front R/4 after the
+    # partition, before the slices — was tried in r4 and measured neutral:
+    # 1731 vs 1705-1724 ms on the 1M in-situ trace. Not kept.)
     Rs = R // slice_n
     outs_t, outs_i = [], []
     for s in range(slice_n):
