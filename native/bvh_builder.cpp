@@ -90,9 +90,13 @@ struct Builder {
           mnc[a] = std::min(mnc[a], pmn[a]);
           mxc[a] = std::max(mxc[a], pmx[a]);
         }
-        const double dx = std::max(mxc[0] - mnc[0], 0.0f);
-        const double dy = std::max(mxc[1] - mnc[1], 0.0f);
-        const double dz = std::max(mxc[2] - mnc[2], 0.0f);
+        // areas stay in float so every product/sum rounds exactly like the
+        // numpy twin's f32 half_area — a double-precision intermediate
+        // here can flip the argmin on near-tie splits and break the
+        // node-for-node build equality the tests assert
+        const float dx = std::max(mxc[0] - mnc[0], 0.0f);
+        const float dy = std::max(mxc[1] - mnc[1], 0.0f);
+        const float dz = std::max(mxc[2] - mnc[2], 0.0f);
         area_l[i] = dx * dy + dy * dz + dx * dz;
       }
       // suffix areas
@@ -107,9 +111,9 @@ struct Builder {
           mnc[a] = std::min(mnc[a], pmn[a]);
           mxc[a] = std::max(mxc[a], pmx[a]);
         }
-        const double dx = std::max(mxc[0] - mnc[0], 0.0f);
-        const double dy = std::max(mxc[1] - mnc[1], 0.0f);
-        const double dz = std::max(mxc[2] - mnc[2], 0.0f);
+        const float dx = std::max(mxc[0] - mnc[0], 0.0f);
+        const float dy = std::max(mxc[1] - mnc[1], 0.0f);
+        const float dz = std::max(mxc[2] - mnc[2], 0.0f);
         area_r[i] = dx * dy + dy * dz + dx * dz;
       }
       for (int32_t k = 1; k < n; ++k) {

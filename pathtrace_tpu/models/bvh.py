@@ -825,6 +825,14 @@ def widen_flat_bvh(flat: FlatBVH, scene: Scene, offsets,
 
     Pure numpy over the already-built tree (so the C++ builder output is
     reused unchanged); sphere leaf data is inlined from the scene arrays.
+
+    SNAPSHOT SEMANTICS (differs from the flat path): sphere centers/radii
+    and motion data are BAKED into the packed rows at build time, so
+    ``wide_scene_nearest`` intersects the geometry as of this call. The
+    flat path (``bvh_scene_nearest``) gathers the live ``scene.spheres``
+    arrays each trace and tracks parameter updates; a ``WideBVH`` reused
+    after scene-parameter updates (e.g. an inverse-rendering loop) must be
+    rebuilt or it silently returns hits against stale geometry.
     """
     f = features or SceneFeatures.all_on()
     has_motion = bool(f.has_motion)

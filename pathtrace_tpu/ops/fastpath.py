@@ -1135,8 +1135,12 @@ def trace_fast_device(
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
     assert fused_shade_supported(features), (
-        "trace_fast_device covers fused-shading scenes; image-on-"
-        "boxes/media scenes shard via the general integrator"
+        "trace_fast_device covers fused-shading scenes; image-texture "
+        "scenes (the whole class — fused_shade_supported gates on "
+        "has_image) shard via the general integrator. NOTE before any "
+        "routing flip: _image_rgb_planes implements sphere and rect UV "
+        "only, so a flip must still exclude has_boxes/has_media image "
+        "scenes until a box-UV branch mirrors fast_bounce's"
     )
     R = ro.shape[0]
     assert R % 1024 == 0, "pad the per-shard ray count to 1024"

@@ -126,6 +126,9 @@ def trace_sharded(
         mesh=mesh,
         in_specs=(P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P()),
         out_specs=(P(RAY_AXIS), P()),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation, so
+        # vma checking must be off when the Pallas sweep runs in-shard
+        check_vma=sphere_nearest_fn is None,
     )
     def _shard(scene_rep, ro_s, rd_s, time_s, key_rep):
         # decorrelate shards: each device folds its mesh position into the key

@@ -35,6 +35,11 @@ class ProgressiveResult:
     image: np.ndarray       # [H, W, 3] linear accumulated
     frames: int
     total_rays: int
+    # routing introspection (pinned by tests/test_routing.py): which render
+    # path ran ("fast" | "sharded" | "compacted" | "general") and which
+    # closest-hit provider it used ("bvh" | "pallas-sweep" | "xla-sweep")
+    path: str = ""
+    intersect: str = ""
 
 
 def render_progressive(
@@ -71,7 +76,16 @@ def render_progressive(
     # all_on() would needlessly disqualify the fast path
     features = features or SceneFeatures.from_scene(scene)
 
+    # --pallas is resolved BEFORE the BVH block: the BVH routing decision
+    # reads sphere_nearest_fn, and deciding it afterwards silently dropped
+    # the requested BVH for `--pallas -B` (r4 advisor/verdict finding —
+    # the frame rendered brute general with no tree at all).
     sphere_nearest_fn = None
+    if use_pallas:
+        from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
+
+        sphere_nearest_fn = sphere_nearest_pallas
+
     intersect_fn = None
     bvh_fast = None
     bvh_offsets = None
@@ -91,25 +105,33 @@ def render_progressive(
         flat = jax.device_put(flat)
         from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
-        ok_fast = _fsup(features, scene) and sphere_nearest_fn is None
-        if mode in ("auto", "fast") and ok_fast:
+        ok_fast = _fsup(features, scene)
+        if mode == "fast" and ok_fast:
+            # explicit fast mode: the fast path's closest hit is the Pallas
+            # sweep kernel already, so --pallas is redundant (not a
+            # conflict) and the BVH rides as the intersect provider
+            bvh_fast = flat
+        elif mode == "auto" and ok_fast and sphere_nearest_fn is None:
             # -B rides the fast path (Pallas shading + compaction ladder)
             # with BVH traversal as the intersect provider
             bvh_fast = flat
-        elif mode == "sharded" and ok_fast and fused_shade_supported(features):
+        elif (mode == "sharded" and ok_fast and fused_shade_supported(features)
+              and sphere_nearest_fn is None):
             # -B inside shard_map: trace_fast_device takes the traversal
             # as its intersect provider in every shard
             bvh_fast = flat
         else:
+            # `--pallas -B` in auto mode lands here: the explicit pallas
+            # brute kernel request cedes to the requested BVH (the general
+            # compacted path traverses the same tree)
             intersect_fn = pbvh.make_bvh_intersect_fn(flat, bvh_offsets,
                                                       features)
+            if mode == "sharded":
+                log("bvh: sharded mode has no general-path BVH provider; "
+                    "rendering sharded WITHOUT the tree")
+                intersect_fn = None
 
     scene = jax.device_put(scene)
-
-    if use_pallas:
-        from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
-
-        sphere_nearest_fn = sphere_nearest_pallas
 
     nee_lights = None
     if nee:
@@ -136,7 +158,16 @@ def render_progressive(
             and nee_lights is None and rr_start == 0)
     )
 
+    route_path = "general"
+    route_intersect = (
+        "bvh" if (bvh_fast is not None or intersect_fn is not None)
+        else ("pallas-sweep" if sphere_nearest_fn is not None else "xla-sweep")
+    )
     if use_fast:
+        route_path = "fast"
+        if bvh_fast is None:
+            route_intersect = "pallas-sweep"  # the fast path's native sweep
+
         def frame_fn(scene_arg, key, frame_idx):
             return render_frame_fast(
                 scene_arg, camera, params.width, params.height, params.samples,
@@ -156,9 +187,13 @@ def render_progressive(
         render_mesh = pmesh.make_render_mesh()
         log(f"mesh: {render_mesh.devices.size} device(s)")
         shard_fast = (
-            _fsup(features, scene) and fused_shade_supported(features)
-            and intersect_fn is None and sphere_nearest_fn is None
+            (_fsup(features, scene) and fused_shade_supported(features)
+             and intersect_fn is None and sphere_nearest_fn is None)
+            or bvh_fast is not None
         )
+        route_path = "sharded"
+        if bvh_fast is None and shard_fast:
+            route_intersect = "pallas-sweep"
 
         def frame_fn(scene_arg, key, frame_idx):
             return pmesh.render_frame_sharded(
@@ -174,6 +209,8 @@ def render_progressive(
         # auto mode lands here: every lane pays the whole traversal loop, so
         # dead-lane elimination between bounces matters most on the BVH path.
         from pathtrace_tpu.render.compaction import render_frame_compacted
+
+        route_path = "compacted"
 
         def frame_fn(scene_arg, key, frame_idx):
             return render_frame_compacted(
@@ -272,4 +309,7 @@ def render_progressive(
     )
     if checkpoint_path:
         ckpt.save(checkpoint_path, acc_np, frame, seed)
-    return ProgressiveResult(image=acc_np, frames=frame - start_frame, total_rays=total_rays)
+    return ProgressiveResult(
+        image=acc_np, frames=frame - start_frame, total_rays=total_rays,
+        path=route_path, intersect=route_intersect,
+    )
