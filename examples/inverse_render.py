@@ -33,6 +33,13 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=2e-2)
     ap.add_argument("--out", default="inverse_result.png")
     ap.add_argument(
+        "--checkpoint", default=None,
+        help="TrainState checkpoint path (.npz): resume from it if present, "
+             "save every --checkpoint-every steps and at exit. Resume is "
+             "bit-exact (params, optimizer state, step, RNG key).",
+    )
+    ap.add_argument("--checkpoint-every", type=int, default=10)
+    ap.add_argument(
         "--geometry", action="store_true",
         help="Also optimize sphere centers (enables silhouette edge "
              "sampling: interior autodiff alone sees zero gradient from "
@@ -79,15 +86,32 @@ def main() -> int:
             perturbed[i] = jnp.clip(perturbed[i] + 0.2, 0.0, 1.0)
     state = renderer.init(perturbed)
 
+    from pathtrace_tpu.utils import checkpoint as ckpt
+
+    start_step = 0
+    if args.checkpoint:
+        resumed = ckpt.try_load_train(args.checkpoint, state)
+        if resumed is not None:
+            state, saved_key = resumed
+            start_step = int(state.step)
+            if saved_key is not None:
+                key = jnp.asarray(saved_key)
+            print(f"resumed from {args.checkpoint} at step {start_step}")
+
     loss0 = None
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         state, loss = renderer.train_step(state, target, key)
         loss = float(loss)
         loss0 = loss0 or loss
         if step % 5 == 0 or step == args.steps - 1:
             print(f"step {step:4d}  loss {loss:.6f}")
+        if args.checkpoint and (step + 1) % args.checkpoint_every == 0:
+            ckpt.save_train(args.checkpoint, state, key)
+    if args.checkpoint:
+        ckpt.save_train(args.checkpoint, state, key)
 
-    print(f"loss: {loss0:.6f} -> {loss:.6f} ({loss0 / max(loss, 1e-12):.1f}x reduction)")
+    if loss0 is not None:
+        print(f"loss: {loss0:.6f} -> {loss:.6f} ({loss0 / max(loss, 1e-12):.1f}x reduction)")
     img = renderer.render(state.params, key)
     side_by_side = np.concatenate([np.asarray(target), np.asarray(img)], axis=1)
     film.save_frame_png(args.out, side_by_side)

@@ -170,3 +170,67 @@ class TestInverseRendering:
         g_center = np.asarray(by_name["spheres.center"])
         assert np.isfinite(g_center).all()
         assert np.abs(g_center).max() > 0.0
+
+    def test_train_checkpoint_resume_bit_exact(self, eight_mesh, tmp_path):
+        """SURVEY §5: inverse rendering persists optimizer state too.
+
+        train(N) must equal train(k) -> save -> load -> train(N-k)
+        bit-for-bit: params, adam moments, and step all round-trip.
+        """
+        from pathtrace_tpu.utils import checkpoint as ckpt
+
+        scene, cam = presets.small(aspect=1.0)
+
+        def fresh():
+            renderer, state, names = make_inverse_renderer(
+                scene, cam, 16, 16, samples=2, max_depth=3, mesh=eight_mesh,
+                learning_rate=2e-2,
+                trainable=lambda p: "textures.color" in p,
+            )
+            return renderer, state
+
+        renderer, state = fresh()
+        key = jax.random.PRNGKey(3)
+        target = renderer.render(state.params, key)
+        perturbed = [p + 0.15 for p in state.params]
+
+        # uninterrupted: 5 steps
+        s_full = renderer.init(perturbed)
+        for _ in range(5):
+            s_full, _ = renderer.train_step(s_full, target, key)
+
+        # interrupted: 2 steps, save, rebuild everything, load, 3 steps
+        s_half = renderer.init(perturbed)
+        for _ in range(2):
+            s_half, _ = renderer.train_step(s_half, target, key)
+        path = str(tmp_path / "train.npz")
+        ckpt.save_train(path, s_half, key)
+        renderer2, template = fresh()
+        s_res, saved_key = ckpt.load_train(path, template)
+        assert int(s_res.step) == 2
+        np.testing.assert_array_equal(np.asarray(saved_key), np.asarray(key))
+        for _ in range(3):
+            s_res, _ = renderer2.train_step(s_res, target, jnp.asarray(saved_key))
+
+        assert int(s_res.step) == int(s_full.step) == 5
+        for a, b in zip(
+            jax.tree_util.tree_leaves((s_full.params, s_full.opt_state)),
+            jax.tree_util.tree_leaves((s_res.params, s_res.opt_state)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_load_train_rejects_mismatched_template(self, eight_mesh, tmp_path):
+        from pathtrace_tpu.utils import checkpoint as ckpt
+
+        scene, cam = presets.small(aspect=1.0)
+        renderer, state, _ = make_inverse_renderer(
+            scene, cam, 16, 16, samples=2, max_depth=2, mesh=eight_mesh,
+            trainable=lambda p: "textures.color" in p,
+        )
+        path = str(tmp_path / "t.npz")
+        ckpt.save_train(path, state)
+        _, state_more, _ = make_inverse_renderer(
+            scene, cam, 16, 16, samples=2, max_depth=2, mesh=eight_mesh,
+        )
+        with pytest.raises(ValueError, match="configuration mismatch"):
+            ckpt.load_train(path, state_more)
