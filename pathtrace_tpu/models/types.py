@@ -256,11 +256,21 @@ class SceneFeatures:
         "has_noise", "has_checker", "has_image",
         "has_lambertian", "has_metal", "has_dielectric", "has_light",
         "has_isotropic",
+        # checker texture graph shape (reference src/texture.rs:78-86 allows
+        # full recursion): number of checker-resolve levels to unroll
+        # (static; any depth >= the scene's true nesting gives identical
+        # results), and whether every checker child is a plain constant
+        # (the fast path's attr table bakes only constant children — deeper
+        # graphs route to the general integrator)
+        "checker_depth", "checker_children_const",
     )
 
     def __init__(self, **kw):
         for k in self.__slots__:
-            setattr(self, k, bool(kw.get(k, True)))
+            if k == "checker_depth":
+                setattr(self, k, int(kw.get(k, 4)))
+            else:
+                setattr(self, k, bool(kw.get(k, True)))
 
     def _key(self):
         return tuple(getattr(self, k) for k in self.__slots__)
@@ -286,7 +296,29 @@ class SceneFeatures:
 
         tex_kinds = set(_np.asarray(scene.textures.kind).tolist())
         mat_kinds = set(_np.asarray(scene.materials.kind).tolist())
+
+        # checker graph shape: walk odd/even links host-side (cycle-guarded)
+        kinds = _np.asarray(scene.textures.kind)
+        odd = _np.asarray(scene.textures.odd_id)
+        even = _np.asarray(scene.textures.even_id)
+
+        def _chk_depth(i, seen):
+            if kinds[i] != TEX_CHECKER or i in seen:
+                return 0
+            seen = seen | {i}
+            return 1 + max(_chk_depth(odd[i], seen), _chk_depth(even[i], seen))
+
+        checker_ids = _np.nonzero(kinds == TEX_CHECKER)[0]
+        checker_depth = max(
+            (_chk_depth(int(i), frozenset()) for i in checker_ids), default=1
+        )
+        children_const = all(
+            kinds[odd[i]] == TEX_CONSTANT and kinds[even[i]] == TEX_CONSTANT
+            for i in checker_ids
+        )
         return SceneFeatures(
+            checker_depth=max(checker_depth, 1),
+            checker_children_const=children_const,
             has_spheres=bool(_np.any(scene.spheres.mask)),
             has_motion=bool(_np.any(_np.asarray(scene.spheres.inv_time_delta) != 0.0)),
             has_rects=bool(_np.any(scene.rects.mask)),

@@ -95,11 +95,16 @@ def attr_width(features: SceneFeatures) -> int:
 
 
 def fastpath_supported(features: SceneFeatures, scene: Scene = None) -> bool:
-    """Every scene class is covered; the one capacity limit is the rect
-    table (one 128-lane tile). Pass the scene to gate on it — rect-heavy
-    user scenes fall back to the general integrator instead of tripping
-    the ``build_rect_table`` assert."""
+    """Every scene class is covered; the capacity limits are the rect
+    table (one 128-lane tile) and checker textures with non-constant
+    children (the attr table bakes the odd/even child COLORS into row
+    columns — a noise/image/checker child needs the general integrator's
+    recursive texture evaluation). Pass the scene to gate on the former —
+    rect-heavy user scenes fall back to the general integrator instead of
+    tripping the ``build_rect_table`` assert."""
     if scene is not None and scene.rects.count > TILE_N:
+        return False
+    if features.has_checker and not features.checker_children_const:
         return False
     return True
 

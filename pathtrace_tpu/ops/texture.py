@@ -2,9 +2,13 @@
 
 TPU-native analog of the reference's recursive enum match
 (reference ``src/texture.rs:74-91``): all texture kinds are computed for the
-batch and combined with masked selects. Checker children are resolved one
-level deep via an extra gather — the reference only ever nests constants
-under checkers (``src/presets.rs:129-139``).
+batch and combined with masked selects. Checker children are full recursive
+textures like the reference's (``src/texture.rs:78-86``): the recursion is
+statically unrolled to ``SceneFeatures.checker_depth`` levels (derived from
+the actual texture graph host-side, so a scene with flat constant-children
+checkers — every reference preset, ``src/presets.rs:129-139`` — compiles
+the same single-extra-gather program as before, while checker-of-noise /
+checker-of-checker resolve exactly as deep as they need).
 """
 
 from __future__ import annotations
@@ -59,6 +63,29 @@ def _base_value(tex: Textures, perlin_tables: PerlinTables, atlas: ImageAtlas,
     return out
 
 
+def _value_rec(tex: Textures, perlin_tables, atlas, tex_id, u, v, p,
+               turb_val, sines_neg, f: SceneFeatures, depth: int):
+    """Statically-unrolled recursive texture evaluation.
+
+    ``depth`` is the number of remaining checker-resolve levels; at 0 the
+    node evaluates as its base kind only (constants/noise/image). The
+    checker sines depend only on p, so ``sines_neg`` is shared by every
+    level of the recursion.
+    """
+    base = _base_value(tex, perlin_tables, atlas, tex_id, u, v, p, turb_val, f)
+    if not f.has_checker or depth <= 0:
+        return base
+
+    odd = _value_rec(tex, perlin_tables, atlas, tex.odd_id[tex_id], u, v, p,
+                     turb_val, sines_neg, f, depth - 1)
+    even = _value_rec(tex, perlin_tables, atlas, tex.even_id[tex_id], u, v, p,
+                      turb_val, sines_neg, f, depth - 1)
+    checker = jnp.where(sines_neg[..., None], odd, even)
+
+    is_checker = (tex.kind[tex_id] == TEX_CHECKER)[..., None]
+    return jnp.where(is_checker, checker, base)
+
+
 def texture_value(scene: Scene, tex_id, u, v, p, features: SceneFeatures = None):
     """Evaluate texture ``tex_id`` at (u, v, p) for a batch.
 
@@ -68,21 +95,14 @@ def texture_value(scene: Scene, tex_id, u, v, p, features: SceneFeatures = None)
     f = features or SceneFeatures.all_on()
     tex = scene.textures
     turb_val = perlin.turb(scene.perlin, p) if f.has_noise else None
-    base = _base_value(tex, scene.perlin, scene.atlas, tex_id, u, v, p, turb_val, f)
     if not f.has_checker:
-        return base
+        return _base_value(tex, scene.perlin, scene.atlas, tex_id, u, v, p,
+                           turb_val, f)
 
-    # checker combine (one level deep): sines of 10x-scaled point select
-    # odd/even child (reference src/texture.rs:78-86)
+    # checker select: sines of the 10x-scaled point pick the odd/even child
+    # (reference src/texture.rs:78-86); computed once for all levels
     s = 10.0 * p
-    sines = jnp.sin(s[..., 0]) * jnp.sin(s[..., 1]) * jnp.sin(s[..., 2])
-    odd = _base_value(
-        tex, scene.perlin, scene.atlas, tex.odd_id[tex_id], u, v, p, turb_val, f
-    )
-    even = _base_value(
-        tex, scene.perlin, scene.atlas, tex.even_id[tex_id], u, v, p, turb_val, f
-    )
-    checker = jnp.where((sines < 0.0)[..., None], odd, even)
-
-    is_checker = (tex.kind[tex_id] == TEX_CHECKER)[..., None]
-    return jnp.where(is_checker, checker, base)
+    sines_neg = (jnp.sin(s[..., 0]) * jnp.sin(s[..., 1]) * jnp.sin(s[..., 2])
+                 < 0.0)
+    return _value_rec(tex, scene.perlin, scene.atlas, tex_id, u, v, p,
+                      turb_val, sines_neg, f, f.checker_depth)

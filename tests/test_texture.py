@@ -124,3 +124,102 @@ class TestTextures:
         rgb = np.asarray(texture_value(s, tid, u, v, p, features=feats))
         np.testing.assert_allclose(rgb[0], [1.0, 0.0, 0.0], atol=1e-6)
         np.testing.assert_allclose(rgb[1], [0.0, 0.0, 1.0], atol=1e-6)
+
+
+class TestCheckerNesting:
+    """Checker children are full recursive textures (reference
+    src/texture.rs:78-86): noise-under-checker and checker-of-checker
+    resolve to features.checker_depth levels."""
+
+    def test_features_derive_depth_and_child_kinds(self):
+        def flat(b):
+            b.lambertian(b.checker_texture(
+                b.constant_texture((1, 0, 0)), b.constant_texture((0, 1, 0))))
+
+        def deep(b):
+            inner = b.checker_texture(
+                b.constant_texture((1, 0, 0)), b.noise_texture(2.0))
+            b.lambertian(b.checker_texture(inner, b.constant_texture((0, 0, 1))))
+
+        f_flat = SceneFeatures.from_scene(_scene_with(flat))
+        f_deep = SceneFeatures.from_scene(_scene_with(deep))
+        assert f_flat.checker_depth == 1 and f_flat.checker_children_const
+        assert f_deep.checker_depth == 2 and not f_deep.checker_children_const
+
+    def test_checker_of_noise(self):
+        ids = {}
+
+        def f(b):
+            ids["noise"] = b.noise_texture(3.0)
+            ids["red"] = b.constant_texture((1.0, 0.0, 0.0))
+            ids["chk"] = b.checker_texture(ids["noise"], ids["red"])
+            b.lambertian(ids["chk"])
+
+        s = _scene_with(f)
+        feats = SceneFeatures.from_scene(s)
+        p = jnp.asarray(np.random.default_rng(3).random((200, 3)) * 8, jnp.float32)
+        n = p.shape[0]
+        z = jnp.zeros(n)
+        chk = np.asarray(texture_value(
+            s, jnp.full(n, ids["chk"], jnp.int32), z, z, p, features=feats))
+        noise = np.asarray(texture_value(
+            s, jnp.full(n, ids["noise"], jnp.int32), z, z, p, features=feats))
+        sines = np.sin(10 * np.asarray(p)).prod(axis=-1)
+        want = np.where((sines < 0)[:, None], noise, [[1.0, 0.0, 0.0]])
+        np.testing.assert_allclose(chk, want, atol=1e-6)
+
+    def test_checker_of_checker(self):
+        ids = {}
+
+        def f(b):
+            ids["r"] = b.constant_texture((1.0, 0.0, 0.0))
+            ids["g"] = b.constant_texture((0.0, 1.0, 0.0))
+            ids["b"] = b.constant_texture((0.0, 0.0, 1.0))
+            ids["inner"] = b.checker_texture(ids["r"], ids["g"])
+            ids["outer"] = b.checker_texture(ids["inner"], ids["b"])
+            b.lambertian(ids["outer"])
+
+        s = _scene_with(f)
+        feats = SceneFeatures.from_scene(s)
+        assert feats.checker_depth == 2
+        p = jnp.asarray(np.random.default_rng(4).random((300, 3)) * 6 - 3,
+                        jnp.float32)
+        n = p.shape[0]
+        z = jnp.zeros(n)
+        out = np.asarray(texture_value(
+            s, jnp.full(n, ids["outer"], jnp.int32), z, z, p, features=feats))
+        sines = np.sin(10 * np.asarray(p)).prod(axis=-1)
+        neg = sines < 0
+        inner = np.where(neg[:, None], [[1.0, 0, 0]], [[0, 1.0, 0]])
+        want = np.where(neg[:, None], inner, [[0, 0, 1.0]])
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+    def test_deep_checker_scene_routes_to_general_and_renders(self):
+        from pathtrace_tpu.config import Params
+        from pathtrace_tpu.ops.fastpath import fastpath_supported
+        from pathtrace_tpu.render.progressive import render_progressive
+
+        def f(b):
+            chk = b.checker_texture(
+                b.noise_texture(2.0), b.constant_texture((0.9, 0.1, 0.1)))
+            b.sphere((0.0, 0.0, -1.0), 0.5, b.lambertian(chk))
+            b.sphere((0.0, -100.5, -1.0), 100.0,
+                     b.lambertian_color((0.5, 0.5, 0.5)))
+
+        s = _scene_with(f)
+        feats = SceneFeatures.from_scene(s)
+        assert not fastpath_supported(feats, s)
+
+        from pathtrace_tpu.camera import make_camera
+
+        cam = make_camera(
+            lookfrom=(0.0, 0.0, 1.0), lookat=(0.0, 0.0, -1.0),
+            vup=(0.0, 1.0, 0.0), vfov_degrees=60.0, aspect=1.0,
+            aperture=0.0, focus_dist=1.0,
+        )
+        r = render_progressive(
+            s, cam, Params(width=16, height=16, samples=2, max_depth=3),
+            max_frames=1, mode="auto", log=lambda _:None,
+        )
+        assert r.path in ("general", "compacted")
+        assert np.isfinite(r.image).all() and r.image.max() > 0
