@@ -91,6 +91,44 @@ def affine_from_rotation_y_translation(degrees: float, translation: Vec3) -> np.
     return m
 
 
+def affine_from_axis_angle(axis: Vec3, degrees: float,
+                           translation: Vec3 = (0.0, 0.0, 0.0),
+                           scale: float = 1.0) -> np.ndarray:
+    """3x4 affine: uniform scale, rotate about an arbitrary axis, translate.
+
+    Convenience constructor for the generic-instance API (reference
+    ``src/collision/instance.rs:16-22`` stores an arbitrary affine); any
+    3x4 matrix works everywhere a ``transform=`` argument is accepted —
+    compose richer ones with :func:`affine_compose`.
+    """
+    a = _v3(axis).astype(np.float64)
+    a = a / np.linalg.norm(a)
+    th = np.deg2rad(degrees)
+    c, s = np.cos(th), np.sin(th)
+    x, y, z = a
+    rot = np.array([
+        [c + x * x * (1 - c), x * y * (1 - c) - z * s, x * z * (1 - c) + y * s],
+        [y * x * (1 - c) + z * s, c + y * y * (1 - c), y * z * (1 - c) - x * s],
+        [z * x * (1 - c) - y * s, z * y * (1 - c) + x * s, c + z * z * (1 - c)],
+    ])
+    m = np.zeros((3, 4), np.float32)
+    m[:, :3] = (rot * scale).astype(np.float32)
+    m[:, 3] = _v3(translation)
+    return m
+
+
+def affine_compose(*ms: np.ndarray) -> np.ndarray:
+    """Compose 3x4 affines left-to-right in application order:
+    ``affine_compose(a, b)`` applies ``a`` first, then ``b``."""
+    out = identity_affine().astype(np.float64)
+    for m in ms:
+        m = np.asarray(m, np.float64)
+        lin = m[:, :3] @ out[:, :3]
+        t = m[:, :3] @ out[:, 3] + m[:, 3]
+        out = np.concatenate([lin, t[:, None]], axis=1)
+    return out.astype(np.float32)
+
+
 def invert_affine(m: np.ndarray) -> np.ndarray:
     """Invert a 3x4 affine (assumes invertible linear part)."""
     lin = m[:, :3]
@@ -100,6 +138,14 @@ def invert_affine(m: np.ndarray) -> np.ndarray:
     out[:, :3] = inv_lin
     out[:, 3] = -inv_lin @ t
     return out
+
+
+def _opt_affine(m: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    if m is None:
+        return None
+    m = np.asarray(m, np.float32)
+    assert m.shape == (3, 4), f"transform must be 3x4 affine, got {m.shape}"
+    return m
 
 
 class SceneBuilder:
@@ -177,8 +223,14 @@ class SceneBuilder:
         return self._mat(T.MAT_ISOTROPIC, tex_id)
 
     # ---- primitives ----
-    def sphere(self, center: Vec3, radius: float, mat_id: int) -> None:
-        self._sph.append((_v3(center), np.zeros(3, np.float32), 0.0, 0.0, float(radius), mat_id))
+    def sphere(self, center: Vec3, radius: float, mat_id: int,
+               transform: Optional[np.ndarray] = None) -> None:
+        """``transform``: optional 3x4 world_from_obj affine — the generic
+        Instance wrapper (reference src/collision/instance.rs:16-47). The
+        sphere's center/radius are then object-space; any affine works,
+        including non-uniform scale (an ellipsoid)."""
+        self._sph.append((_v3(center), np.zeros(3, np.float32), 0.0, 0.0,
+                          float(radius), mat_id, _opt_affine(transform)))
 
     def moving_sphere(
         self,
@@ -188,20 +240,28 @@ class SceneBuilder:
         time1: float,
         radius: float,
         mat_id: int,
+        transform: Optional[np.ndarray] = None,
     ) -> None:
         c0, c1 = _v3(center0), _v3(center1)
         self._sph.append(
-            (c0, c1 - c0, float(time0), 1.0 / (time1 - time0), float(radius), mat_id)
+            (c0, c1 - c0, float(time0), 1.0 / (time1 - time0), float(radius),
+             mat_id, _opt_affine(transform))
         )
 
-    def rect_xy(self, x0, x1, y0, y1, k, flip: bool, mat_id: int) -> None:
-        self._rects.append((2, x0, x1, y0, y1, k, -1.0 if flip else 1.0, mat_id))
+    def rect_xy(self, x0, x1, y0, y1, k, flip: bool, mat_id: int,
+                transform: Optional[np.ndarray] = None) -> None:
+        self._rects.append((2, x0, x1, y0, y1, k, -1.0 if flip else 1.0,
+                            mat_id, _opt_affine(transform)))
 
-    def rect_xz(self, x0, x1, z0, z1, k, flip: bool, mat_id: int) -> None:
-        self._rects.append((1, x0, x1, z0, z1, k, -1.0 if flip else 1.0, mat_id))
+    def rect_xz(self, x0, x1, z0, z1, k, flip: bool, mat_id: int,
+                transform: Optional[np.ndarray] = None) -> None:
+        self._rects.append((1, x0, x1, z0, z1, k, -1.0 if flip else 1.0,
+                            mat_id, _opt_affine(transform)))
 
-    def rect_yz(self, y0, y1, z0, z1, k, flip: bool, mat_id: int) -> None:
-        self._rects.append((0, y0, y1, z0, z1, k, -1.0 if flip else 1.0, mat_id))
+    def rect_yz(self, y0, y1, z0, z1, k, flip: bool, mat_id: int,
+                transform: Optional[np.ndarray] = None) -> None:
+        self._rects.append((0, y0, y1, z0, z1, k, -1.0 if flip else 1.0,
+                            mat_id, _opt_affine(transform)))
 
     def box(
         self,
@@ -253,7 +313,7 @@ class SceneBuilder:
 
         if spatial_sort and len(self._sph) > 2:
             centers = np.stack(
-                [c + 0.5 * d for (c, d, _t0, _invdt, _r, _m) in self._sph]
+                [c + 0.5 * d for (c, d, _t0, _invdt, _r, _m, _x) in self._sph]
             )
             lo = centers.min(axis=0)
             ext = np.maximum(centers.max(axis=0) - lo, 1e-9)
@@ -273,7 +333,10 @@ class SceneBuilder:
         sp_radius = np.zeros(ns, f32)
         sp_mat = np.zeros(ns, i32)
         sp_mask = np.zeros(ns, bool)
-        for i, (c, d, t0, invdt, r, m) in enumerate(self._sph):
+        sp_any_xf = any(x is not None for (*_, x) in self._sph)
+        sp_wfo = np.tile(identity_affine()[None], (ns, 1, 1)) if sp_any_xf else None
+        sp_ofw = np.tile(identity_affine()[None], (ns, 1, 1)) if sp_any_xf else None
+        for i, (c, d, t0, invdt, r, m, xf) in enumerate(self._sph):
             sp_center[i] = c
             sp_delta[i] = d
             sp_t0[i] = t0
@@ -281,6 +344,9 @@ class SceneBuilder:
             sp_radius[i] = r
             sp_mat[i] = m
             sp_mask[i] = True
+            if xf is not None:
+                sp_wfo[i] = xf
+                sp_ofw[i] = invert_affine(xf)
 
         nr = _pad_to(len(self._rects), 1)
         re_axis = np.zeros(nr, i32)
@@ -292,12 +358,18 @@ class SceneBuilder:
         re_flip = np.ones(nr, f32)
         re_mat = np.zeros(nr, i32)
         re_mask = np.zeros(nr, bool)
-        for i, (ax, a0, a1, b0, b1, k, fl, m) in enumerate(self._rects):
+        re_any_xf = any(x is not None for (*_, x) in self._rects)
+        re_wfo = np.tile(identity_affine()[None], (nr, 1, 1)) if re_any_xf else None
+        re_ofw = np.tile(identity_affine()[None], (nr, 1, 1)) if re_any_xf else None
+        for i, (ax, a0, a1, b0, b1, k, fl, m, xf) in enumerate(self._rects):
             re_axis[i] = ax
             re_a0[i], re_a1[i], re_b0[i], re_b1[i], re_k[i] = a0, a1, b0, b1, k
             re_flip[i] = fl
             re_mat[i] = m
             re_mask[i] = True
+            if xf is not None:
+                re_wfo[i] = xf
+                re_ofw[i] = invert_affine(xf)
 
         nb = _pad_to(len(self._boxes), 1)
         bx_p0 = np.full((nb, 3), 1.0e18, f32)
@@ -384,8 +456,10 @@ class SceneBuilder:
 
         sky = np.zeros(3, f32) if self.sky is None else _v3(self.sky)
         return T.Scene(
-            spheres=T.Spheres(sp_center, sp_delta, sp_t0, sp_invdt, sp_radius, sp_mat, sp_mask),
-            rects=T.Rects(re_axis, re_a0, re_a1, re_b0, re_b1, re_k, re_flip, re_mat, re_mask),
+            spheres=T.Spheres(sp_center, sp_delta, sp_t0, sp_invdt, sp_radius,
+                              sp_mat, sp_mask, sp_wfo, sp_ofw),
+            rects=T.Rects(re_axis, re_a0, re_a1, re_b0, re_b1, re_k, re_flip,
+                          re_mat, re_mask, re_wfo, re_ofw),
             boxes=T.Boxes(bx_p0, bx_p1, bx_wfo, bx_ofw, bx_mat, bx_mask),
             media=T.Media(md_kind, md_p0, md_p1, md_rad, md_wfo, md_ofw, md_den, md_mat, md_mask),
             materials=T.Materials(ma_kind, ma_tex, ma_fuzz, ma_ref),

@@ -88,6 +88,10 @@ def sphere_aabbs(spheres: Spheres, t0: float = 0.0, t1: float = 1.0):
     c1 = c + d  # center at time1
     mn = np.minimum(c0 - r, c1 - r)
     mx = np.maximum(c0 + r, c1 + r)
+    if spheres.world_from_obj is not None:
+        # generic instances: object-space box transformed to world
+        # (reference aabb.rs:75-100 via Instance::bounding_box)
+        return _transform_aabb(spheres.world_from_obj, mn, mx)
     return mn.astype(np.float32), mx.astype(np.float32)
 
 
@@ -316,6 +320,10 @@ def bvh_sphere_nearest(
     Drop-in alternative to ``intersect.sphere_nearest`` (same signature
     contract), selected by ``Params.use_bvh`` — the ``-B`` flag analog.
     """
+    assert spheres.world_from_obj is None, (
+        "instanced spheres traverse via bvh_scene_nearest's object-space "
+        "leaf branch"
+    )
     n_nodes = bvh.n_nodes
     bvh = jax.tree_util.tree_map(jnp.asarray, bvh)
     spheres = jax.tree_util.tree_map(jnp.asarray, spheres)
@@ -428,6 +436,8 @@ def rect_aabbs(rects):
     mx[rows, a_axis] = np.asarray(rects.a1)
     mn[rows, b_axis] = np.asarray(rects.b0)
     mx[rows, b_axis] = np.asarray(rects.b1)
+    if rects.world_from_obj is not None:
+        return _transform_aabb(rects.world_from_obj, mn, mx)
     return mn.astype(np.float32), mx.astype(np.float32)
 
 
@@ -519,13 +529,24 @@ def _leaf_candidate(scene, gid, offsets, features, ro, rd, time, med_u,
             s = (time - scene.spheres.time0[pid]) * scene.spheres.inv_time_delta[pid]
             c0 = c0 + s[..., None] * scene.spheres.center_delta[pid]
         radius = scene.spheres.radius[pid]
-        oc = ro - c0
-        b = jnp.sum(oc * rd, axis=-1)
+        if scene.spheres.world_from_obj is not None:
+            # generic instances: object-space ray, full quadratic
+            # (|rd_o| != 1 under scaling) — mirrors sphere_nearest's branch
+            ofw = scene.spheres.obj_from_world[pid]      # [R,3,4]
+            ro_s = jnp.einsum("rij,rj->ri", ofw[:, :, :3], ro) + ofw[:, :, 3]
+            rd_s = jnp.einsum("rij,rj->ri", ofw[:, :, :3], rd)
+            a = jnp.sum(rd_s * rd_s, axis=-1)
+        else:
+            ro_s, rd_s = ro, rd
+            a = 1.0                           # |rd| == 1 wavefront-wide
+        oc = ro_s - c0
+        b = jnp.sum(oc * rd_s, axis=-1)
         c = jnp.sum(oc * oc, axis=-1) - radius * radius
-        disc = b * b - c                      # |rd| == 1 wavefront-wide
+        disc = b * b - a * c
         sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
-        t0 = -b - sq
-        t1 = -b + sq
+        inv_a = 1.0 / a
+        t0 = (-b - sq) * inv_a
+        t1 = (-b + sq) * inv_a
         valid = (disc > 0.0) & scene.spheres.mask[pid]
         t0_ok = valid & (t0 > t_min) & (t0 < best_t)
         t1_ok = valid & (t1 > t_min) & (t1 < best_t)
@@ -534,15 +555,21 @@ def _leaf_candidate(scene, gid, offsets, features, ro, rd, time, med_u,
 
     if features.has_rects:
         pid = jnp.clip(gid - off_r, 0, scene.rects.count - 1)
+        if scene.rects.world_from_obj is not None:
+            ofw = scene.rects.obj_from_world[pid]        # [R,3,4]
+            ro_r = jnp.einsum("rij,rj->ri", ofw[:, :, :3], ro) + ofw[:, :, 3]
+            rd_r = jnp.einsum("rij,rj->ri", ofw[:, :, :3], rd)
+        else:
+            ro_r, rd_r = ro, rd
         axis = scene.rects.axis[pid]
         a_axis = jnp.where(axis == 0, 1, 0)
         b_axis = jnp.where(axis == 2, 1, 2)
         ga = lambda arr, ax: jnp.take_along_axis(arr, ax[..., None], axis=-1)[..., 0]
-        d_n = ga(rd, axis)
+        d_n = ga(rd_r, axis)
         d_n = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
-        t_r = (scene.rects.k[pid] - ga(ro, axis)) / d_n
-        pa = ga(ro, a_axis) + t_r * ga(rd, a_axis)
-        pb = ga(ro, b_axis) + t_r * ga(rd, b_axis)
+        t_r = (scene.rects.k[pid] - ga(ro_r, axis)) / d_n
+        pa = ga(ro_r, a_axis) + t_r * ga(rd_r, a_axis)
+        pb = ga(ro_r, b_axis) + t_r * ga(rd_r, b_axis)
         ok = (
             scene.rects.mask[pid]
             & (t_r > t_min) & (t_r < best_t)
@@ -643,7 +670,9 @@ def bvh_scene_nearest(
     prim_f = jax.lax.bitcast_convert_type(bvh.prim, jnp.float32)
     off_s, off_r, off_b, off_m = offsets
     cols = [bvh.bb_min, bvh.bb_max, esc_f[:, None], prim_f[:, None]]
-    inline_spheres = f.has_spheres
+    # instanced spheres can't be inlined (the packed row carries world-space
+    # quadratic inputs); they fall to _leaf_candidate's object-space branch
+    inline_spheres = f.has_spheres and scene.spheres.world_from_obj is None
     if inline_spheres:
         sph = scene.spheres
         data = [sph.center, sph.radius[:, None]]
@@ -659,7 +688,8 @@ def bvh_scene_nearest(
 
     # Non-sphere leaves are rare in sphere-heavy scenes; their (gathering)
     # leaf tests run under a lax.cond only on steps where some lane is at one.
-    has_other = f.has_rects or f.has_boxes or f.has_media
+    has_other = (f.has_rects or f.has_boxes or f.has_media
+                 or (f.has_spheres and not inline_spheres))
     f_other = f
     if has_other and inline_spheres:
         kw = {k: getattr(f, k) for k in SceneFeatures.__slots__}
@@ -835,6 +865,11 @@ def widen_flat_bvh(flat: FlatBVH, scene: Scene, offsets,
     rebuilt or it silently returns hits against stale geometry.
     """
     f = features or SceneFeatures.all_on()
+    assert scene.spheres.world_from_obj is None and \
+        scene.rects.world_from_obj is None, (
+            "widen_flat_bvh inlines world-space leaf data; instanced "
+            "scenes use the flat layout"
+        )
     has_motion = bool(f.has_motion)
     if leaf_m is None:
         leaf_m = (8 if not has_motion else 4) if f.has_spheres else 1

@@ -84,17 +84,28 @@ class Spheres:
     reference ``src/presets.rs:265``).
     """
 
-    center: Any        # [N, 3] f32 — center at time0
+    center: Any        # [N, 3] f32 — center at time0 (object space if instanced)
     center_delta: Any  # [N, 3] f32
     time0: Any         # [N] f32
     inv_time_delta: Any  # [N] f32 (0 for static)
     radius: Any        # [N] f32, signed
     mat_id: Any        # [N] i32
     mask: Any          # [N] bool
+    # generic Instance support (reference src/collision/instance.rs:16-47
+    # wraps ANY hitable in an arbitrary affine): None for plain scenes —
+    # a static gate, so untransformed scenes compile the identical
+    # program — or [N, 3, 4] affine pairs; rays transform into object
+    # space per primitive, hits (normal/UV) transform back
+    world_from_obj: Any = None  # [N, 3, 4] f32 or None
+    obj_from_world: Any = None  # [N, 3, 4] f32 or None
 
     @property
     def count(self) -> int:
         return self.center.shape[0]
+
+    @property
+    def instanced(self) -> bool:
+        return self.world_from_obj is not None
 
 
 @_pytree_dataclass
@@ -113,14 +124,21 @@ class Rects:
     a1: Any     # [N] f32
     b0: Any     # [N] f32
     b1: Any     # [N] f32
-    k: Any      # [N] f32 — plane offset along `axis`
+    k: Any      # [N] f32 — plane offset along `axis` (object space if instanced)
     flip: Any   # [N] f32 — +1.0 or -1.0
     mat_id: Any  # [N] i32
     mask: Any   # [N] bool
+    # generic Instance support (see Spheres): None, or [N, 3, 4] affine pairs
+    world_from_obj: Any = None
+    obj_from_world: Any = None
 
     @property
     def count(self) -> int:
         return self.axis.shape[0]
+
+    @property
+    def instanced(self) -> bool:
+        return self.world_from_obj is not None
 
 
 @_pytree_dataclass

@@ -104,6 +104,12 @@ def fastpath_supported(features: SceneFeatures, scene: Scene = None) -> bool:
     tripping the ``build_rect_table`` assert."""
     if scene is not None and scene.rects.count > TILE_N:
         return False
+    if scene is not None and (scene.spheres.world_from_obj is not None
+                              or scene.rects.world_from_obj is not None):
+        # generic instanced spheres/rects: the Pallas sweep and the fused
+        # attr rows assume world-space primitives — route to the general
+        # integrator's object-space branch (ops/intersect.py)
+        return False
     if features.has_checker and not features.checker_children_const:
         return False
     return True

@@ -77,7 +77,42 @@ def sphere_nearest(spheres: Spheres, ro, rd, time, t_min=MIN_T, t_max=MAX_T,
     ``c_term = |ro|^2 - 2 ro·c + |c|^2 - r^2``.
 
     Returns ``(t [R], idx [R])`` with ``t = MAX_T`` on miss.
+
+    Instanced spheres (``spheres.world_from_obj is not None`` — the generic
+    Instance wrapper, reference ``src/collision/instance.rs:32-47``) take
+    the object-space branch: rays transform into each sphere's object frame
+    and the full quadratic runs there. The t parameter is frame-invariant
+    (an affine maps ``o + t*d`` to ``(Ao+b) + t*(Ad)``), so winners merge
+    directly with the other kinds' world-space candidates.
     """
+    if spheres.world_from_obj is not None:
+        lin = spheres.obj_from_world[:, :, :3]                    # [N,3,3]
+        trans = spheres.obj_from_world[:, :, 3]                   # [N,3]
+        ro_o = jnp.einsum("nij,rj->rni", lin, ro) + trans[None]   # [R,N,3]
+        rd_o = jnp.einsum("nij,rj->rni", lin, rd)                 # [R,N,3]
+        c = spheres.center[None, :, :]                            # [1,N,3]
+        if has_motion:
+            s = (time[:, None] - spheres.time0[None, :]) * \
+                spheres.inv_time_delta[None, :]                   # [R,N]
+            c = c + s[..., None] * spheres.center_delta[None, :, :]
+        oc = ro_o - c
+        a = jnp.sum(rd_o * rd_o, axis=-1)                         # [R,N]
+        b = jnp.sum(oc * rd_o, axis=-1)
+        cterm = jnp.sum(oc * oc, axis=-1) - \
+            (spheres.radius * spheres.radius)[None, :]
+        disc = b * b - a * cterm
+        valid = (disc > 0.0) & spheres.mask[None, :]
+        sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+        inv_a = 1.0 / a
+        t0 = (-b - sq) * inv_a
+        t1 = (-b + sq) * inv_a
+        t0_ok = valid & (t0 > t_min) & (t0 < t_max)
+        t1_ok = valid & (t1 > t_min) & (t1 < t_max)
+        t_cand = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, _INF))
+        idx = jnp.argmin(t_cand, axis=-1)
+        t = jnp.take_along_axis(t_cand, idx[..., None], axis=-1)[..., 0]
+        return t, idx.astype(jnp.int32)
+
     rox, roy, roz = ro[..., 0:1], ro[..., 1:2], ro[..., 2:3]      # [R,1]
     rdx, rdy, rdz = rd[..., 0:1], rd[..., 1:2], rd[..., 2:3]      # [R,1]
 
@@ -122,7 +157,15 @@ def sphere_nearest(spheres: Spheres, ro, rd, time, t_min=MIN_T, t_max=MAX_T,
 
 def sphere_record(spheres: Spheres, t, idx, ro, rd, time,
                   with_uv: bool = True) -> HitRecord:
-    """Build the hit record for winning sphere indices (gathers, O(R))."""
+    """Build the hit record for winning sphere indices (gathers, O(R)).
+
+    Instanced spheres evaluate normal and UV in object space and transform
+    the normal back with the inverse-transpose (exact for every affine,
+    reduces to the rotation for rigid transforms); the hit point comes from
+    the world ray directly since t is frame-invariant. UV stays
+    object-space, matching the reference where the wrapped child computes
+    UV before the hit is forward-transformed (``instance.rs:32-47``).
+    """
     hit = t < _INF
     t_safe = jnp.where(hit, t, 0.0)  # keep miss lanes finite for AD
     c0 = spheres.center[idx]
@@ -131,17 +174,30 @@ def sphere_record(spheres: Spheres, t, idx, ro, rd, time,
     center = c0 + s[..., None] * delta
     radius = spheres.radius[idx]
     point = ro + t_safe[..., None] * rd
-    # signed radius flips the normal for hollow shells (reference
-    # src/collision/sphere.rs:45, src/presets.rs:265)
-    normal = (point - center) / radius[..., None]
+    if spheres.world_from_obj is not None:
+        lin_ofw = spheres.obj_from_world[idx][:, :, :3]           # [R,3,3]
+        trans_ofw = spheres.obj_from_world[idx][:, :, 3]          # [R,3]
+        point_o = jnp.einsum("rij,rj->ri", lin_ofw, point) + trans_ofw
+        # signed radius flips the normal for hollow shells
+        normal_o = (point_o - center) / radius[..., None]
+        # world normal via inverse-transpose: (obj_from_world_lin)^T
+        n_w = jnp.einsum("rji,rj->ri", lin_ofw, normal_o)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(n_w * n_w, axis=-1), 1e-24))
+        normal = n_w / norm[..., None]
+        uv_normal = normal_o
+    else:
+        # signed radius flips the normal for hollow shells (reference
+        # src/collision/sphere.rs:45, src/presets.rs:265)
+        normal = (point - center) / radius[..., None]
+        uv_normal = normal
     if with_uv:
         # sphere UV from the unit normal (reference src/material.rs:41-49):
         # phi = atan2(x, y), theta = asin(y) — the reference's argument
         # order. Only image textures consume sphere UV (the reference
         # computes it only then too, src/material.rs:169-180), so callers
         # skip these transcendentals when the scene has no image textures.
-        phi = jnp.arctan2(normal[..., 0], normal[..., 1])
-        theta = jnp.arcsin(jnp.clip(normal[..., 1], -1.0, 1.0))
+        phi = jnp.arctan2(uv_normal[..., 0], uv_normal[..., 1])
+        theta = jnp.arcsin(jnp.clip(uv_normal[..., 1], -1.0, 1.0))
         u = 1.0 - (phi + _PI) * _INV_2PI
         v = (theta + _HALF_PI) * _INV_PI
     else:
@@ -168,7 +224,41 @@ def rect_nearest(rects: Rects, ro, rd, t_min=MIN_T, t_max=MAX_T):
     One-hot axis gathers replace the reference's XY/XZ/YZ variants
     (``src/collision/rect.rs:73-160``): plane-t from the normal axis,
     2D in-plane bounds test.
+
+    Instanced rects (generic Instance, ``instance.rs:32-47``) run the same
+    plane test on per-rect object-space rays — in world space the rect is
+    then an arbitrary parallelogram.
     """
+    if rects.world_from_obj is not None:
+        lin = rects.obj_from_world[:, :, :3]             # [N,3,3]
+        trans = rects.obj_from_world[:, :, 3]            # [N,3]
+        ro_o = jnp.einsum("nij,rj->rni", lin, ro) + trans[None]  # [R,N,3]
+        rd_o = jnp.einsum("nij,rj->rni", lin, rd)
+        axis = rects.axis                                # [N]
+        a_axis = jnp.where(axis == 0, 1, 0)
+        b_axis = jnp.where(axis == 2, 1, 2)
+        ga = lambda arr, ax: jnp.take_along_axis(
+            arr, jnp.broadcast_to(ax[None, :, None], arr.shape[:2] + (1,)),
+            axis=-1,
+        )[..., 0]
+        o_n, d_n = ga(ro_o, axis), ga(rd_o, axis)        # [R,N]
+        o_a, d_a = ga(ro_o, a_axis), ga(rd_o, a_axis)
+        o_b, d_b = ga(ro_o, b_axis), ga(rd_o, b_axis)
+        d_n = jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
+        t = (rects.k[None, :] - o_n) / d_n
+        pa = o_a + t * d_a
+        pb = o_b + t * d_b
+        ok = (
+            rects.mask[None, :]
+            & (t > t_min) & (t < t_max)
+            & (pa >= rects.a0[None, :]) & (pa <= rects.a1[None, :])
+            & (pb >= rects.b0[None, :]) & (pb <= rects.b1[None, :])
+        )
+        t_cand = jnp.where(ok, t, _INF)
+        idx = jnp.argmin(t_cand, axis=-1)
+        tbest = jnp.take_along_axis(t_cand, idx[..., None], axis=-1)[..., 0]
+        return tbest, idx.astype(jnp.int32)
+
     axis = rects.axis                                   # [N]
     # in-plane axes in ascending order
     a_axis = jnp.where(axis == 0, 1, 0)                 # [N]
@@ -206,7 +296,9 @@ def rect_nearest_cols(rects: Rects, rox, roy, roz, rdx, rdy, rdz,
                       t_min=MIN_T, t_max=MAX_T):
     """Plane-input twin of :func:`rect_nearest` (ray components as [R]
     arrays; per-rect axis selects replace the [R, N] axis gathers — the
-    selected values are identical)."""
+    selected values are identical). Fast-path only: instanced rects route
+    to the general integrator before reaching here."""
+    assert rects.world_from_obj is None, "instanced rects use rect_nearest"
     axis = rects.axis[None, :]                          # [1,N]
 
     def sel(x, y, z):
@@ -252,6 +344,7 @@ def rect_nearest_planes(rects: Rects, rox, roy, roz, rdx, rdy, rdz,
     per 2M-lane bounce on `simple_light` (tools/scene_compare_probe.py,
     r4). Selected values are identical — the winner is the same
     first-minimum argmin."""
+    assert rects.world_from_obj is None, "instanced rects use rect_nearest"
     R = rox.shape[0]
     INF = jnp.float32(_INF)
     tbest = jnp.full((R,), _INF, rox.dtype)
@@ -288,14 +381,26 @@ def rect_record(rects: Rects, t, idx, ro, rd) -> HitRecord:
     a_axis = jnp.where(axis == 0, 1, 0)
     b_axis = jnp.where(axis == 2, 1, 2)
     point = ro + t_safe[..., None] * rd
-    pa = jnp.take_along_axis(point, a_axis[..., None], axis=-1)[..., 0]
-    pb = jnp.take_along_axis(point, b_axis[..., None], axis=-1)[..., 0]
+    if rects.world_from_obj is not None:
+        # UV from the object-space hit point; normal transformed back by
+        # the inverse-transpose (generic Instance, instance.rs:32-47)
+        lin_ofw = rects.obj_from_world[idx][:, :, :3]   # [R,3,3]
+        trans_ofw = rects.obj_from_world[idx][:, :, 3]
+        point_uv = jnp.einsum("rij,rj->ri", lin_ofw, point) + trans_ofw
+    else:
+        point_uv = point
+    pa = jnp.take_along_axis(point_uv, a_axis[..., None], axis=-1)[..., 0]
+    pb = jnp.take_along_axis(point_uv, b_axis[..., None], axis=-1)[..., 0]
     a0, a1 = rects.a0[idx], rects.a1[idx]
     b0, b1 = rects.b0[idx], rects.b1[idx]
     u = (pa - a0) / (a1 - a0)
     v = (pb - b0) / (b1 - b0)
     one_hot = (jnp.arange(3, dtype=axis.dtype)[None, :] == axis[..., None]).astype(point.dtype)
     normal = one_hot * rects.flip[idx][..., None]
+    if rects.world_from_obj is not None:
+        n_w = jnp.einsum("rji,rj->ri", lin_ofw, normal)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(n_w * n_w, axis=-1), 1e-24))
+        normal = n_w / norm[..., None]
     return HitRecord(
         t=t, point=point, normal=normal, u=u, v=v,
         mat_id=rects.mat_id[idx], hit=t < _INF,

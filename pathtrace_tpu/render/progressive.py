@@ -82,9 +82,15 @@ def render_progressive(
     # the frame rendered brute general with no tree at all).
     sphere_nearest_fn = None
     if use_pallas:
-        from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
+        if scene.spheres.world_from_obj is not None:
+            # the Pallas sweep kernel assumes world-space spheres; generic
+            # instanced spheres need ops/intersect.py's object-space branch
+            log("pallas: instanced spheres are not supported by the sweep "
+                "kernel; using the general object-space intersector")
+        else:
+            from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
 
-        sphere_nearest_fn = sphere_nearest_pallas
+            sphere_nearest_fn = sphere_nearest_pallas
 
     intersect_fn = None
     bvh_fast = None
