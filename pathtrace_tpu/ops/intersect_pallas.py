@@ -209,6 +209,134 @@ def _kernel_static_culled(
             i_out[sj] = jnp.where(better, k * TILE_N + row_arg, i_out[sj])
 
 
+def _kernel_static_culled2(
+    rox, roy, roz, rdx, rdy, rdz,
+    cx, cy, cz, cc_m_r2, mask,
+    slx, sly, slz, shx, shy, shz,
+    tlx, tly, tlz, thx, thy, thz,
+    t_out, i_out,
+    super_ok,
+    *, t_min: float, t_max: float, s_tiles: int,
+):
+    """Two-level hierarchical tile cull — the scene-scale answer.
+
+    The flat cull (:func:`_kernel_static_culled`) slab-tests EVERY
+    128-sphere tile box per ray block: linear in tile count, and the r4
+    crossover table shows it decaying ~linearly (4.23 -> 2.56 -> 1.20
+    Mrays/s from 16k -> 65k -> 262k spheres). This kernel adds a coarse
+    level: the grid becomes (ray blocks, supertiles, member tiles); at
+    member step 0 the block slab-tests the SUPERTILE box (the union of
+    ``s_tiles`` member tile boxes) once and caches the verdict in SMEM
+    scratch (scratch persists across the sequential grid); every member
+    step gates its whole body — tile box test AND sweep — on that bit. A
+    block that prunes a supertile pays ONE slab test for ``s_tiles``
+    tiles, dropping the cull machinery's slope by ``s_tiles``. This is
+    the in-kernel re-design of the reference BVH's log-scaling purpose
+    (``src/collision/bvh.rs:37-62``) in the shape this device rewards:
+    dense per-block box tests on the VPU instead of per-ray pointer
+    chases. Results are bit-identical to the brute kernel (skips are
+    conservative: sphere ⊆ tile box ⊆ supertile box, eps-padded).
+
+    Two designs measured and rejected on the way here (r5, TPU A/B at
+    16k/65k spheres): per-ROW (1, TILE_R) slab tests use 1/8 of the VPU
+    sublanes (1.7x slower end-to-end), and fetching the whole supertile
+    as ONE (s_tiles*TILE_N, 1) column block explodes VMEM 128x (the
+    [N, 1] lane-padding trap) — hence the 3D grid keeping flat's
+    (TILE_N, 1) blocks.
+    """
+    ks = pl.program_id(1)
+    km = pl.program_id(2)
+    ro_x, ro_y, ro_z = rox[:], roy[:], roz[:]            # (SUB_B, TILE_R)
+    rd_x, rd_y, rd_z = rdx[:], rdy[:], rdz[:]
+    ro_d = ro_x * rd_x + ro_y * rd_y + ro_z * rd_z
+    ro_ro = ro_x * ro_x + ro_y * ro_y + ro_z * ro_z
+
+    eps = 1e-12
+    big = 1e30
+    inv_x = jnp.where(jnp.abs(rd_x) > eps, 1.0 / rd_x, big)
+    inv_y = jnp.where(jnp.abs(rd_y) > eps, 1.0 / rd_y, big)
+    inv_z = jnp.where(jnp.abs(rd_z) > eps, 1.0 / rd_z, big)
+    par_x = jnp.abs(rd_x) <= eps
+    par_y = jnp.abs(rd_y) <= eps
+    par_z = jnp.abs(rd_z) <= eps
+
+    @pl.when((ks == 0) & (km == 0))
+    def _():
+        t_out[:] = jnp.full((SUB_B, TILE_R), _INF, jnp.float32)
+        i_out[:] = jnp.zeros((SUB_B, TILE_R), jnp.int32)
+
+    def axis_interval(lo, hi, o, inv, par):
+        t0 = (lo - o) * inv
+        t1 = (hi - o) * inv
+        tn = jnp.minimum(t0, t1)
+        tx = jnp.maximum(t0, t1)
+        inside = (o >= lo) & (o <= hi)
+        tn = jnp.where(par, jnp.where(inside, -big, big), tn)
+        tx = jnp.where(par, jnp.where(inside, big, -big), tx)
+        return tn, tx
+
+    def box_want_block(lo3, hi3, cur):
+        """Slab interval vs running best, full (SUB_B, TILE_R) block."""
+        tnx, txx = axis_interval(lo3[0], hi3[0], ro_x, inv_x, par_x)
+        tny, txy = axis_interval(lo3[1], hi3[1], ro_y, inv_y, par_y)
+        tnz, txz = axis_interval(lo3[2], hi3[2], ro_z, inv_z, par_z)
+        tenter = jnp.maximum(jnp.maximum(tnx, tny), tnz)
+        texit = jnp.minimum(jnp.minimum(txx, txy), txz)
+        return (
+            (texit >= tenter) & (texit > t_min)
+            & (tenter < jnp.minimum(cur, t_max))
+        )
+
+    @pl.when(km == 0)
+    def _():
+        sw = box_want_block(
+            (slx[ks], sly[ks], slz[ks]), (shx[ks], shy[ks], shz[ks]),
+            t_out[:],
+        )
+        super_ok[0, 0] = jnp.sum(sw.astype(jnp.float32)).astype(jnp.int32)
+
+    @pl.when(super_ok[0, 0] > 0)
+    def _():
+        tile_id = ks * s_tiles + km
+        scx, scy, scz = cx[:], cy[:], cz[:]              # (TILE_N, 1)
+        sc2 = cc_m_r2[:]
+        smask = mask[:] > 0
+        cur = t_out[:]
+        want = box_want_block(
+            (tlx[tile_id], tly[tile_id], tlz[tile_id]),
+            (thx[tile_id], thy[tile_id], thz[tile_id]), cur,
+        )
+        wantf = want.astype(jnp.float32)
+        for j in range(SUB_B):
+            row_want = jnp.sum(wantf[j]) > 0.0
+
+            @pl.when(row_want)
+            def _(j=j, tile_id=tile_id):
+                sj = slice(j, j + 1)
+                b = ro_d[sj] - (scx * rd_x[sj] + scy * rd_y[sj]
+                                + scz * rd_z[sj])
+                c = (ro_ro[sj]
+                     - 2.0 * (scx * ro_x[sj] + scy * ro_y[sj]
+                              + scz * ro_z[sj])
+                     + sc2)
+                disc = b * b - c
+                valid = (disc > 0.0) & smask
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = -b - sq
+                t1 = -b + sq
+                t0_ok = valid & (t0 > t_min) & (t0 < t_max)
+                t1_ok = valid & (t1 > t_min) & (t1 < t_max)
+                t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, _INF))
+                row_min = jnp.min(t, axis=0, keepdims=True)
+                row_arg = jnp.argmin(t, axis=0).astype(jnp.int32)[None, :]
+                cur_r = t_out[sj]
+                better = row_min < cur_r
+                t_out[sj] = jnp.where(better, row_min, cur_r)
+                i_out[sj] = jnp.where(
+                    better, tile_id * TILE_N + row_arg, i_out[sj]
+                )
+
+
 def _kernel_moving(
     rox, roy, roz, rdx, rdy, rdz, rtime,
     cx, cy, cz, cc_m_r2, mask,
@@ -291,21 +419,33 @@ def _pad_rays(x, rp, fill=0.0):
     )
 
 
+SUPER_TILES = 16  # member tiles per supertile in the hierarchical cull
+
+
 @functools.partial(
-    jax.jit, static_argnames=("has_motion", "t_min", "t_max", "cull")
+    jax.jit,
+    static_argnames=("has_motion", "t_min", "t_max", "cull", "s_tiles"),
 )
 def sphere_nearest_pallas_cols(spheres: Spheres, rox, roy, roz, rdx, rdy, rdz,
                                time, t_min=MIN_T, t_max=MAX_T,
-                               has_motion: bool = True, cull: bool = False):
+                               has_motion: bool = True, cull=False,
+                               s_tiles: int = SUPER_TILES):
     """Column-plane entry: same kernel, ray components as six [R] arrays.
 
     Used by the fused fast path, whose wavefront state lives in lane-packed
     planes — skips the [R, 3] column extracts of the array entry (the values
-    are identical either way). ``cull=True`` (static scenes only) enables
-    the in-kernel per-tile AABB cull — bit-identical results."""
+    are identical either way). ``cull`` (static scenes only) enables the
+    in-kernel AABB cull — bit-identical results: ``"flat"`` = per-tile
+    boxes only; ``"hier"`` = two-level supertile hierarchy (``s_tiles``
+    member tiles per coarse box); ``True`` = hier when the scene has
+    enough tiles to amortize a coarse level, flat otherwise."""
+    if cull is True:
+        n_tiles = (spheres.center.shape[0] + TILE_N - 1) // TILE_N
+        cull = "hier" if n_tiles >= 2 * s_tiles else "flat"
     return _sphere_nearest_call(
         spheres, [rox, roy, roz, rdx, rdy, rdz], time,
-        float(t_min), float(t_max), bool(has_motion), cull=bool(cull),
+        float(t_min), float(t_max), bool(has_motion), cull=cull,
+        s_tiles=int(s_tiles),
     )
 
 
@@ -316,17 +456,23 @@ def _sphere_nearest_pallas_impl(spheres: Spheres, ro, rd, time, t_min, t_max, ha
 
 
 def _sphere_nearest_call(spheres: Spheres, ray_planes, time, t_min, t_max,
-                         has_motion, cull: bool = False):
+                         has_motion, cull=False, s_tiles: int = SUPER_TILES):
     R = ray_planes[0].shape[0]
     N = spheres.center.shape[0]
-    n_pad = ((N + TILE_N - 1) // TILE_N) * TILE_N
+    hier = cull == "hier" and not has_motion
+    tile_mult = TILE_N * (s_tiles if hier else 1)
+    n_pad = ((N + tile_mult - 1) // tile_mult) * tile_mult
     n_tiles = n_pad // TILE_N
     Rp = ((R + BLOCK_R - 1) // BLOCK_R) * BLOCK_R
     rb = Rp // TILE_R
     # grid: (ray blocks, sphere tiles), tile axis MINOR — the out block is
-    # revisited across tiles and carries the running (t, idx) min
-    grid = (rb // SUB_B, n_tiles)
-    cull = cull and not has_motion and n_tiles > 1
+    # revisited across tiles and carries the running (t, idx) min. The
+    # hier cull splits the tile axis into (supertiles, member tiles).
+    if hier:
+        grid = (rb // SUB_B, n_tiles // s_tiles, s_tiles)
+    else:
+        grid = (rb // SUB_B, n_tiles)
+    cull = bool(cull) and not has_motion and n_tiles > 1
 
     def pad_n(x, fill=0.0):
         # sphere SoA as [n_pad, 1] COLUMNS (sublane axis) — tiny arrays,
@@ -389,12 +535,38 @@ def _sphere_nearest_call(spheres: Spheres, ray_planes, time, t_min, t_max,
         thy = tile_hi(spheres.center[:, 1])
         thz = tile_hi(spheres.center[:, 2])
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        kernel = functools.partial(
-            _kernel_static_culled,
-            t_min=float(t_min), t_max=float(t_max),
-        )
-        in_specs = [ray_spec] * 6 + [sph_spec] * 5 + [smem_spec] * 6
-        args = ray_rows + [cx, cy, cz, cc_m_r2, mask, tlx, tly, tlz, thx, thy, thz]
+        if hier:
+            # coarse level: supertile boxes = union of member tile boxes
+            def sup(lo_or_hi, fn):
+                return fn(lo_or_hi.reshape(-1, s_tiles), axis=1)
+
+            slx, sly, slz = (sup(v, jnp.min) for v in (tlx, tly, tlz))
+            shx_, shy_, shz_ = (sup(v, jnp.max) for v in (thx, thy, thz))
+            ray_spec3 = pl.BlockSpec((SUB_B, TILE_R),
+                                     lambda i, ks, km: (i, 0),
+                                     memory_space=pltpu.VMEM)
+            sph_spec3 = pl.BlockSpec(
+                (TILE_N, 1), lambda i, ks, km: (ks * s_tiles + km, 0),
+                memory_space=pltpu.VMEM,
+            )
+            smem_spec3 = pl.BlockSpec(memory_space=pltpu.SMEM)
+            kernel = functools.partial(
+                _kernel_static_culled2,
+                t_min=float(t_min), t_max=float(t_max),
+                s_tiles=int(s_tiles),
+            )
+            in_specs = [ray_spec3] * 6 + [sph_spec3] * 5 + [smem_spec3] * 12
+            args = ray_rows + [cx, cy, cz, cc_m_r2, mask,
+                               slx, sly, slz, shx_, shy_, shz_,
+                               tlx, tly, tlz, thx, thy, thz]
+        else:
+            kernel = functools.partial(
+                _kernel_static_culled,
+                t_min=float(t_min), t_max=float(t_max),
+            )
+            in_specs = [ray_spec] * 6 + [sph_spec] * 5 + [smem_spec] * 6
+            args = ray_rows + [cx, cy, cz, cc_m_r2, mask,
+                               tlx, tly, tlz, thx, thy, thz]
     elif not has_motion:
         kernel = functools.partial(
             _kernel_static, t_min=float(t_min), t_max=float(t_max)
@@ -418,6 +590,12 @@ def _sphere_nearest_call(spheres: Spheres, ray_planes, time, t_min, t_max,
             + [cx, cy, cz, cc_m_r2, mask, dx, dy, dz, st0, sinvdt, c_dot_d, d2]
         )
 
+    if hier:
+        out_spec = pl.BlockSpec((SUB_B, TILE_R), lambda i, ks, km: (i, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = [pltpu.SMEM((1, 1), jnp.int32)]
+    else:
+        scratch = []
     t_out, i_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -427,6 +605,7 @@ def _sphere_nearest_call(spheres: Spheres, ray_planes, time, t_min, t_max,
             jax.ShapeDtypeStruct((rb, TILE_R), jnp.float32),
             jax.ShapeDtypeStruct((rb, TILE_R), jnp.int32),
         ),
+        scratch_shapes=scratch,
         # interpreter mode off-TPU so the kernel is testable on the CPU suite
         interpret=jax.default_backend() != "tpu",
         cost_estimate=pl.CostEstimate(

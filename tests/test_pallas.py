@@ -138,3 +138,47 @@ class TestCulledKernel:
         t1, i1 = run(True)
         np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+class TestHierCulledKernel:
+    """The 2-level supertile cull must also be invisible: bit-identical."""
+
+    def _run_pair(self, ro, rd, s_tiles):
+        from pathtrace_tpu.ops.intersect_pallas import (
+            sphere_nearest_pallas_cols,
+        )
+
+        scene, _ = presets.random_spheres(aspect=1.0)
+        sph = scene.spheres
+        tm = jnp.zeros(ro.shape[0])
+
+        def run(cull):
+            return sphere_nearest_pallas_cols(
+                sph, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tm,
+                has_motion=False, cull=cull, s_tiles=s_tiles,
+            )
+
+        t0, i0 = run(False)
+        t1, i1 = run("hier")
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_hier_bit_identical_scattered(self):
+        ro, rd = random_rays(2048, seed=17, spread=24.0)
+        self._run_pair(ro, rd, s_tiles=2)
+
+    def test_hier_bit_identical_uneven_supertile(self):
+        # 488 spheres -> 4 tiles; s_tiles=3 forces padded member tiles
+        # inside a partially-empty supertile
+        ro, rd = random_rays(1024, seed=19, spread=18.0)
+        self._run_pair(ro, rd, s_tiles=3)
+
+    def test_hier_bit_identical_axis_parallel(self):
+        n = 512
+        ro = jax.random.uniform(jax.random.PRNGKey(5), (n, 3)) * 22 - 11
+        axis = np.arange(n) % 3
+        sign = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+        rd = np.zeros((n, 3), np.float32)
+        rd[np.arange(n), axis] = sign
+        self._run_pair(ro, jnp.asarray(rd), s_tiles=2)

@@ -37,9 +37,22 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--extents", default="11,32,64",
                     help="grid half-extents; N ~ (2k)^2 spheres")
+    ap.add_argument("--s-tiles", type=int, default=16,
+                    help="supertile size for the hierarchical cull variant")
+    ap.add_argument("--no-bvh", action="store_true",
+                    help="skip the BVH variant (slow at large N)")
+    ap.add_argument("--no-brute", action="store_true",
+                    help="skip the uncull brute variant")
     ap.add_argument("--scatter", action="store_true",
                     help="random origins inside the scene bounds (bounce-"
                          "like incoherence) instead of camera origins")
+    ap.add_argument("--tile-order", action="store_true",
+                    help="with --raster: permute rays into 64x64 pixel "
+                         "tiles so kernel blocks are compact frusta")
+    ap.add_argument("--raster", action="store_true",
+                    help="raster-coherent camera directions (adjacent "
+                         "lanes = adjacent pixels, like a real primary "
+                         "wavefront) instead of random directions")
     args = ap.parse_args()
 
     from pathtrace_tpu.cli import _enable_compilation_cache
@@ -59,7 +72,29 @@ def main() -> int:
 
     R = args.rays
     rng = np.random.default_rng(0)
-    d = rng.normal(size=(R, 3)).astype(np.float32)
+    if args.raster:
+        # raster-coherent directions: lane i -> pixel (i % W, i // W) of a
+        # 60-deg-fov looking-down-at-the-field camera; adjacent lanes are
+        # adjacent pixels, exactly like a real primary wavefront
+        W = 1024
+        H = (R + W - 1) // W
+        i = np.arange(R)
+        px = (i % W).astype(np.float32) / W - 0.5
+        py = (i // W).astype(np.float32) / H - 0.5
+        look = np.asarray([0.0, -0.35, -1.0], np.float32)
+        look /= np.linalg.norm(look)
+        right = np.asarray([1.0, 0.0, 0.0], np.float32)
+        up = np.cross(right, look)
+        d = (look[None] + 1.15 * px[:, None] * right[None]
+             + 1.15 * (H / W) * py[:, None] * up[None]).astype(np.float32)
+        if args.tile_order:
+            x = i % W
+            y = i // W
+            key = ((y // 64) * (W // 64) + (x // 64)) * (1 << 20) \
+                + (y % 64) * 64 + (x % 64)
+            d = d[np.argsort(key, kind="stable")]
+    else:
+        d = rng.normal(size=(R, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     rd = jnp.asarray(d)
     tm = jnp.zeros(R, jnp.float32)
@@ -84,12 +119,14 @@ def main() -> int:
                                   half_extent=ext)
         n = int(np.asarray(scene.spheres.mask).sum())
         feats = SceneFeatures.from_scene(scene)
-        flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
+        flat = offsets = None
+        if not args.no_bvh:
+            flat, stats, offsets = pbvh.build_scene_bvh(scene, seed=0)
+            flat = jax.device_put(flat)
+            print(json.dumps({"bench": "crossover/build", "spheres": n,
+                              "nodes": stats.node_count,
+                              "max_depth": stats.max_depth}), flush=True)
         scene = jax.device_put(scene)
-        flat = jax.device_put(flat)
-        print(json.dumps({"bench": "crossover/build", "spheres": n,
-                          "nodes": stats.node_count,
-                          "max_depth": stats.max_depth}), flush=True)
 
         if args.scatter:
             # bounds over the small-sphere field only: live rows, excluding
@@ -107,17 +144,23 @@ def main() -> int:
         rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
         rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
 
-        bench(jax.jit(lambda e, s=scene: sphere_nearest_pallas(
-            s.spheres, ro + e, rd, tm, has_motion=False)),
-            "pallas_brute", n)
+        if not args.no_brute:
+            bench(jax.jit(lambda e, s=scene: sphere_nearest_pallas(
+                s.spheres, ro + e, rd, tm, has_motion=False)),
+                "pallas_brute", n)
         bench(jax.jit(lambda e, s=scene: sphere_nearest_pallas_cols(
             s.spheres, rox + e, roy, roz, rdx, rdy, rdz, tm,
-            has_motion=False, cull=True)),
+            has_motion=False, cull="flat")),
             "pallas_tile_cull", n)
-        bench(jax.jit(lambda e, s=scene, f=flat, ft=feats, of=offsets:
-              pbvh.bvh_scene_nearest(f, s, ro + e, rd, tm, None,
-                                     features=ft, offsets=of)),
-              "bvh_sliced", n)
+        bench(jax.jit(lambda e, s=scene: sphere_nearest_pallas_cols(
+            s.spheres, rox + e, roy, roz, rdx, rdy, rdz, tm,
+            has_motion=False, cull="hier", s_tiles=args.s_tiles)),
+            f"pallas_hier_cull_s{args.s_tiles}", n)
+        if not args.no_bvh:
+            bench(jax.jit(lambda e, s=scene, f=flat, ft=feats, of=offsets:
+                  pbvh.bvh_scene_nearest(f, s, ro + e, rd, tm, None,
+                                         features=ft, offsets=of)),
+                  "bvh_sliced", n)
     return 0
 
 
