@@ -61,6 +61,7 @@ from pathtrace_tpu.render.compact_util import (
 from pathtrace_tpu.models.types import (
     MAT_DIELECTRIC,
     MAT_DIFFUSE_LIGHT,
+    MAT_ISOTROPIC,
     MAT_LAMBERTIAN,
     MAT_METAL,
     Scene,
@@ -320,6 +321,49 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None,
     return t, attrs
 
 
+def nearest_t_only(scene, ro, rd, time, features, med_u=None,
+                   bvh=None, bvh_offsets=None):
+    """Closest-hit distance only — the shadow-ray (occlusion) intersector.
+
+    Same winners as :func:`nearest_hit_attrs` minus the attribute row
+    gather (~6 ms/1M), which occlusion tests never need. Used by the fast
+    path's NEE shadow rays (reference has no NEE; estimator anchor is the
+    general integrator's, ``render/integrator.py``)."""
+    from pathtrace_tpu.ops import intersect as isect
+    from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas
+
+    f = features
+    if bvh is not None:
+        from pathtrace_tpu.models.bvh import (
+            WideBVH, bvh_scene_nearest, wide_scene_nearest,
+        )
+
+        nearest = (wide_scene_nearest if isinstance(bvh, WideBVH)
+                   else bvh_scene_nearest)
+        t, _ = nearest(
+            bvh, scene, ro, rd, time, med_u, MIN_T, MAX_T,
+            features=f, offsets=bvh_offsets,
+        )
+        return t
+    if f.has_spheres:
+        t, _ = sphere_nearest_pallas(
+            scene.spheres, ro, rd, time, MIN_T, MAX_T,
+            has_motion=bool(f.has_motion),
+        )
+    else:
+        t = jnp.full(ro.shape[:1], _INF, ro.dtype)
+    if f.has_rects:
+        t_r, _ = isect.rect_nearest(scene.rects, ro, rd)
+        t = jnp.minimum(t, t_r)
+    if f.has_boxes:
+        t_b, _ = isect.box_nearest(scene.boxes, ro, rd)
+        t = jnp.minimum(t, t_b)
+    if f.has_media:
+        t_m, _ = isect.media_nearest(scene.media, ro, rd, med_u)
+        t = jnp.minimum(t, t_m)
+    return t
+
+
 # ---------------------------------------------------------------------------
 # XLA shading (gather-free)
 # ---------------------------------------------------------------------------
@@ -421,6 +465,12 @@ class FastState(NamedTuple):
     throughput: jnp.ndarray  # [R, 3]
     alive: jnp.ndarray       # [R] bool
     lane: jnp.ndarray        # [R] uint32 — RNG stream id (stable under compaction)
+    # MIS weight on this lane's next primitive-emission hit (the BSDF
+    # strategy's power-heuristic share when the previous vertex ran NEE —
+    # see render/integrator.py WavefrontState.emit_scale). None unless the
+    # NEE estimator is on; [R] f32 then, and it rides compaction like any
+    # other plane.
+    emit_scale: jnp.ndarray = None
 
 
 class FastStateP(NamedTuple):
@@ -451,9 +501,19 @@ class FastStateP(NamedTuple):
 def fast_bounce(
     tables, sky, use_gradient_sky, state: FastState,
     seed, depth, max_depth: int, features: SceneFeatures, scene=None,
-    bvh=None, bvh_offsets=None,
+    bvh=None, bvh_offsets=None, nee_lights=None, rr_start: int = 0,
 ):
-    """One single-gather bounce. depth: traced int32; max_depth static."""
+    """One single-gather bounce. depth: traced int32; max_depth static.
+
+    ``nee_lights`` (a :class:`~pathtrace_tpu.ops.lights.LightTable`) turns
+    on next-event estimation with MIS on this path — the same estimator as
+    the general integrator's (``render/integrator.py``: one shadow ray at
+    a sampled light per diffuse vertex, power-heuristic split carried to
+    the next hit via ``state.emit_scale``), with the counter-hash RNG
+    (draws 4-6 light sampling, 7 Russian roulette, 8+n_media shadow media)
+    and :func:`nearest_t_only` for the occlusion test. When set, the
+    return is ``(state, shadow_ray_count)`` instead of ``state``.
+    ``rr_start`` > 0 enables Russian roulette from that bounce depth."""
     f = features
     med_u = None
     if f.has_media:
@@ -601,11 +661,12 @@ def fast_bounce(
     )
     sky_rgb = jnp.where(use_gradient_sky > 0.5, grad_sky, sky)
     is_light = mat_kind == float(MAT_DIFFUSE_LIGHT)
-    emit = jnp.where(
-        hit[:, None],
-        jnp.where(is_light[:, None], rgb, 0.0),
-        sky_rgb,
-    )
+    prim_emit = jnp.where(is_light[:, None], rgb, 0.0)
+    if nee_lights is not None:
+        # the previous vertex's NEE sample owns (1 - emit_scale) of this
+        # emission; the sky is untouched (the light sampler never hits it)
+        prim_emit = prim_emit * state.emit_scale[:, None]
+    emit = jnp.where(hit[:, None], prim_emit, sky_rgb)
     alive_f = state.alive.astype(point.dtype)[:, None]
     radiance = state.radiance + state.throughput * emit * alive_f
 
@@ -681,36 +742,140 @@ def fast_bounce(
 
     can = state.alive & hit & ok & (depth < max_depth)
     cs = can[:, None]
-    return FastState(
+
+    emit_scale_next = state.emit_scale
+    shadow_ct = None
+    if nee_lights is not None:
+        # NEE with MIS, mirroring render/integrator.py's estimator on the
+        # fast path's attr-table data (rgb IS the textured albedo here)
+        from pathtrace_tpu.ops import lights as plights
+        from pathtrace_tpu.ops.texture import texture_value
+
+        is_lam_m = mat_kind == float(MAT_LAMBERTIAN)
+        is_iso_m = mat_kind == float(MAT_ISOTROPIC)
+        nee_mask = can & (is_lam_m | is_iso_m)
+
+        lu = jnp.stack(
+            [counter_uniform(state.lane, seed, depth, 4),
+             counter_uniform(state.lane, seed, depth, 5),
+             counter_uniform(state.lane, seed, depth, 6)], axis=-1,
+        )
+        safe_p = jnp.where(nee_mask[:, None], point, jnp.zeros_like(point))
+        wi, ldist, lpdf, lidx, lvalid = plights.sample_light_dirs(
+            nee_lights, safe_p, lu
+        )
+        nee_mask = nee_mask & lvalid
+
+        smed_u = None
+        if f.has_media:
+            n_media = scene.media.count
+            smed_u = jnp.stack(
+                [counter_uniform(state.lane, seed, depth, 8 + n_media + j)
+                 for j in range(n_media)], axis=-1,
+            )
+        s_t = nearest_t_only(
+            scene, safe_p, wi, state.time, f, med_u=smed_u,
+            bvh=bvh, bvh_offsets=bvh_offsets,
+        )
+        unoccluded = jnp.logical_not(
+            (s_t < _INF) & (s_t < ldist * (1.0 - 1e-3))
+        )
+
+        light_p = safe_p + wi * ldist[:, None]
+        le = texture_value(
+            scene, nee_lights.tex_id[lidx],
+            jnp.full_like(ldist, 0.5), jnp.full_like(ldist, 0.5), light_p,
+            features=f,
+        )
+        safe_n = jnp.where(nee_mask[:, None], normal, jnp.zeros_like(normal))
+        cos_s = jnp.maximum(jnp.sum(wi * safe_n, axis=-1), 0.0)
+        inv_pi = 1.0 / 3.14159265358979
+        f_term = jnp.where(
+            is_lam_m[:, None],
+            rgb * (cos_s * inv_pi)[:, None],
+            rgb * (0.25 * inv_pi),
+        )
+        p_b_nee = jnp.where(is_lam_m, cos_s * inv_pi, 0.25 * inv_pi)
+        w_light = lpdf * lpdf / jnp.maximum(
+            lpdf * lpdf + p_b_nee * p_b_nee, 1e-20
+        )
+        contrib = state.throughput * f_term * le * (
+            w_light / jnp.maximum(lpdf, 1e-12)
+        )[:, None]
+        radiance = radiance + jnp.where(
+            (nee_mask & unoccluded)[:, None], contrib,
+            jnp.zeros_like(contrib),
+        )
+        # BSDF side of the split for the NEXT hit's emission
+        cos_b = jnp.maximum(jnp.sum(direction * safe_n, axis=-1), 0.0)
+        p_b_next = jnp.where(is_lam_m, cos_b * inv_pi, 0.25 * inv_pi)
+        p_l_next = plights.light_dir_pdf(nee_lights, safe_p, direction)
+        w_bsdf = p_b_next * p_b_next / jnp.maximum(
+            p_b_next * p_b_next + p_l_next * p_l_next, 1e-20
+        )
+        emit_scale_next = jnp.where(
+            nee_mask & (p_l_next > 0.0), w_bsdf,
+            jnp.ones_like(state.emit_scale),
+        )
+        shadow_ct = jnp.sum(nee_mask, dtype=jnp.int32)
+
+    throughput = jnp.where(cs, state.throughput * atten, state.throughput)
+    if rr_start > 0:
+        # Russian roulette, same rule as the general integrator: survive
+        # with p = max throughput channel (floored), dividing it back out
+        p_rr = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0)
+        rr_u = counter_uniform(state.lane, seed, depth, 7)
+        roll = can & (depth >= rr_start)
+        survive = jnp.logical_not(roll) | (rr_u < p_rr)
+        throughput = jnp.where(
+            (roll & survive)[:, None], throughput / p_rr[:, None],
+            throughput,
+        )
+        can = can & survive
+        cs = can[:, None]
+
+    out = FastState(
         ro=jnp.where(cs, point, state.ro),
         rd=jnp.where(cs, direction, state.rd),
         time=state.time,
         radiance=radiance,
-        throughput=jnp.where(cs, state.throughput * atten, state.throughput),
+        throughput=throughput,
         alive=can,
         lane=state.lane,
+        emit_scale=emit_scale_next,
     )
+    return (out, shadow_ct) if nee_lights is not None else out
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_depth", "features", "group", "bvh_offsets")
+    jax.jit,
+    static_argnames=("max_depth", "features", "group", "bvh_offsets",
+                     "rr_start"),
 )
 def _bounce_group_jit(tables, sky, grad_sky, state, seed,
                       depth0, max_depth, features, scene,
-                      group: int = 1, bvh=None, bvh_offsets=None):
+                      group: int = 1, bvh=None, bvh_offsets=None,
+                      nee_lights=None, rr_start: int = 0):
     """Run `group` consecutive bounces in ONE dispatch.
 
     Each jit dispatch costs ~45 ms of tunnel overhead on this platform;
-    grouping amortizes it. Returns (state, segments_traced_in_group).
+    grouping amortizes it. Returns (state, segments_traced_in_group) —
+    shadow rays count as segments, like the general integrator's metric.
     """
     segs = jnp.int32(0)
     for g in range(group):
         segs = segs + jnp.sum(state.alive, dtype=jnp.int32)
-        state = fast_bounce(
+        out = fast_bounce(
             tables, sky, grad_sky, state, seed, depth0 + g,
             max_depth, features, scene=scene,
             bvh=bvh, bvh_offsets=bvh_offsets,
+            nee_lights=nee_lights, rr_start=rr_start,
         )
+        if nee_lights is not None:
+            state, shadow_ct = out
+            segs = segs + shadow_ct
+        else:
+            state = out
     return state, segs
 
 
@@ -883,28 +1048,38 @@ def _fast_bounce_fused_prims(
     )
 
 
-def _image_rgb_planes(atlas, t, attrs, state: FastStateP,
+def _image_rgb_planes(atlas, t, attrs3, state: FastStateP,
                       features: SceneFeatures):
     """XLA pre-pass for image textures on the fused path: winner UV + ONE
-    atlas row gather, all on [R] planes. Mirrors ``fast_bounce``'s image
+    atlas gather, all on [R] planes. Mirrors ``fast_bounce``'s image
     branch operation-for-operation (sphere UV from the unit normal,
     reference src/material.rs:41-49; rect UV from in-plane fractions,
     rect.rs:93-160; same v-flip and -0.001 bias, texture.rs:28-30) so the
-    fused path's texels are identical to the XLA shading path's."""
+    fused path's texels are identical to the XLA shading path's.
+
+    Layout notes (the r4 version of this pre-pass lost its own win to
+    them): winner attributes arrive as the (rows, K, 128) cube — column k
+    is a contiguous plane slice, where ``attrs[:, k]`` extracts were
+    strided reads (~27 ms/1M for K of them, tools/split_probe.py) — and
+    the texel gather runs on the TRANSPOSED [3, N] atlas so its output
+    [3, R] is three unpadded planes (a [R, 3] gather result pads its
+    minor dim 128x at every fusion boundary, PERF.md trap)."""
     f = features
+    R = t.shape[0]
+    col = lambda k: attrs3[:, k, :].reshape(R)
     hit = t < _INF
     ts = jnp.where(hit, t, 0.0)
     px = state.rox + ts * state.rdx
     py = state.roy + ts * state.rdy
     pz = state.roz + ts * state.rdz
-    cx, cy, cz = attrs[:, GEO], attrs[:, GEO + 1], attrs[:, GEO + 2]
+    cx, cy, cz = col(GEO), col(GEO + 1), col(GEO + 2)
     if f.has_motion:
-        s = (state.time - attrs[:, GEO + 6]) * attrs[:, GEO + 7]
-        cx = cx + s * attrs[:, GEO + 3]
-        cy = cy + s * attrs[:, GEO + 4]
-        cz = cz + s * attrs[:, GEO + 5]
-    inv_r = 1.0 / jnp.where(jnp.abs(attrs[:, GEO + 8]) < 1e-12, 1.0,
-                            attrs[:, GEO + 8])
+        s = (state.time - col(GEO + 6)) * col(GEO + 7)
+        cx = cx + s * col(GEO + 3)
+        cy = cy + s * col(GEO + 4)
+        cz = cz + s * col(GEO + 5)
+    r_col = col(GEO + 8)
+    inv_r = 1.0 / jnp.where(jnp.abs(r_col) < 1e-12, 1.0, r_col)
     nx = (px - cx) * inv_r
     ny = (py - cy) * inv_r
     phi = jnp.arctan2(nx, ny)
@@ -912,30 +1087,33 @@ def _image_rgb_planes(atlas, t, attrs, state: FastStateP,
     uu = 1.0 - (phi + 3.14159265) * (0.5 / 3.14159265)
     vv = (theta + 1.5707963) * (1.0 / 3.14159265)
     if f.has_rects:
-        kind = attrs[:, COL_KIND]
-        axis_r = attrs[:, GEO + 0].astype(jnp.int32)
+        kind = col(COL_KIND)
+        axis_r = col(GEO + 0).astype(jnp.int32)
         pa = jnp.where(axis_r == 0, py, px)
         pb = jnp.where(axis_r == 2, py, pz)
-        da = attrs[:, GEO + 2] - attrs[:, GEO + 1]
-        db = attrs[:, GEO + 4] - attrs[:, GEO + 3]
+        a0, a1 = col(GEO + 1), col(GEO + 2)
+        b0, b1 = col(GEO + 3), col(GEO + 4)
+        da = a1 - a0
+        db = b1 - b0
         da = jnp.where(jnp.abs(da) < 1e-12, 1.0, da)
         db = jnp.where(jnp.abs(db) < 1e-12, 1.0, db)
-        u_r = (pa - attrs[:, GEO + 1]) / da
-        v_r = (pb - attrs[:, GEO + 3]) / db
+        u_r = (pa - a0) / da
+        v_r = (pb - b0) / db
         uu = jnp.where(kind == KIND_RECT, u_r, uu)
         vv = jnp.where(kind == KIND_RECT, v_r, vv)
-    k_attr = attrs.shape[1]
-    img_y = attrs[:, k_attr - 3]
-    img_h = attrs[:, k_attr - 2]
-    img_w = attrs[:, k_attr - 1]
+    k_attr = attrs3.shape[1]
+    img_y = col(k_attr - 3)
+    img_h = col(k_attr - 2)
+    img_w = col(k_attr - 1)
     ii = jnp.clip((uu * img_w).astype(jnp.int32), 0,
                   jnp.maximum(img_w.astype(jnp.int32) - 1, 0))
     jj = jnp.clip(((1.0 - vv) * img_h - 0.001).astype(jnp.int32), 0,
                   jnp.maximum(img_h.astype(jnp.int32) - 1, 0))
     w_atlas = atlas.shape[1]
     flat_idx = (img_y.astype(jnp.int32) + jj) * w_atlas + ii
-    texel = atlas.reshape(-1, 3)[flat_idx]               # ONE row gather
-    return texel[:, 0], texel[:, 1], texel[:, 2]
+    atlas_t = atlas.reshape(-1, 3).T                     # [3, N] planes
+    texel_t = jnp.take(atlas_t, flat_idx, axis=1)        # [3, R] unpadded
+    return texel_t[0], texel_t[1], texel_t[2]
 
 
 def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
@@ -955,7 +1133,7 @@ def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
 
     img_planes = None
     if features.has_image:
-        img_planes = _image_rgb_planes(atlas, t, attrs, state, features)
+        img_planes = _image_rgb_planes(atlas, t, attrs3, state, features)
 
     state_planes = {
         "rox": state.rox, "roy": state.roy, "roz": state.roz,
@@ -1002,7 +1180,8 @@ def _bounce_group_fused(tables, sky, grad_sky, state, seed,
         segs = segs + jnp.sum(state.alive, dtype=jnp.int32)
         state = _fast_bounce_fused_prims(
             tables, sky, grad_sky, state, seed, depth0 + g,
-            max_depth, features, prims, cull=(cull_first and g == 0),
+            max_depth, features, prims,
+            cull=(cull_first and (g == 0 or CULL_ALL_DEPTHS)),
             bvh=bvh, bvh_offsets=bvh_offsets, atlas=atlas,
             bvh_first=(bvh_first and g == 0),
         )
@@ -1146,12 +1325,10 @@ def trace_fast_device(
     from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
     assert fused_shade_supported(features), (
-        "trace_fast_device covers fused-shading scenes; image-texture "
-        "scenes (the whole class — fused_shade_supported gates on "
-        "has_image) shard via the general integrator. NOTE before any "
-        "routing flip: _image_rgb_planes implements sphere and rect UV "
-        "only, so a flip must still exclude has_boxes/has_media image "
-        "scenes until a box-UV branch mirrors fast_bounce's"
+        "trace_fast_device covers fused-shading scenes; image-on-boxes/"
+        "media scenes shard via the general integrator "
+        "(_image_rgb_planes implements sphere and rect UV only — add a "
+        "box-UV branch mirroring fast_bounce's before widening the gate)"
     )
     R = ro.shape[0]
     assert R % 1024 == 0, "pad the per-shard ray count to 1024"
@@ -1247,6 +1424,60 @@ def frame_chunk(features: SceneFeatures) -> int:
     return 1 << 22
 
 
+@functools.lru_cache(maxsize=16)
+def _tile_perm_np(height: int, width: int, tile: int = 64):
+    """Pixel permutation into ``tile x tile`` screen tiles (+ its inverse).
+
+    Raster order makes a 4096-lane kernel block span the full image WIDTH
+    (a wide, flat frustum that overlaps most of the scene); tile order
+    makes each block a compact pixel tile whose ray frustum is narrow —
+    which is what the in-kernel AABB culls prune against. Measured on the
+    65k-sphere crossover scene (r5, same-window): the hierarchical cull
+    goes from +17% over flat (raster) to 2.2x (tile order).
+    """
+    import numpy as _np
+
+    i = _np.arange(height * width, dtype=_np.int64)
+    x = i % width
+    y = i // width
+    tiles_x = (width + tile - 1) // tile
+    key = (((y // tile) * tiles_x + (x // tile)) << 20) \
+        + (y % tile) * tile + (x % tile)
+    order = _np.argsort(key, kind="stable").astype(_np.int32)
+    inv = _np.empty_like(order)
+    inv[order] = _np.arange(order.size, dtype=_np.int32)
+    return order, inv
+
+
+@functools.partial(jax.jit, static_argnames=("samples",))
+def _permute_rays_jit(ro, rd, t, order, samples):
+    """Permute the pixel axis of a [H*W*S]-flat ray set by ``order`` with
+    ONE packed row gather (per-plane lane gathers are ~13 ms/1M each on
+    this device; a [hw, 7S] row gather amortizes ~5x — PERF.md)."""
+    S = samples
+    hw = order.shape[0]
+    pack = jnp.concatenate(
+        [ro.reshape(hw, S * 3), rd.reshape(hw, S * 3), t.reshape(hw, S)],
+        axis=1,
+    )[order]
+    R = hw * S
+    return (
+        pack[:, : 3 * S].reshape(R, 3),
+        pack[:, 3 * S: 6 * S].reshape(R, 3),
+        pack[:, 6 * S:].reshape(R),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "samples")
+)
+def _unpermute_image_jit(radiance, inv, height, width, samples):
+    S = samples
+    hw = height * width
+    rows = radiance.reshape(hw, S * 3)[inv]
+    return rows.reshape(height, width, samples, 3).mean(axis=2)
+
+
 def render_frame_fast(
     scene: Scene,
     camera,
@@ -1263,6 +1494,8 @@ def render_frame_fast(
     stratify: bool = False,
     bvh=None,
     bvh_offsets=None,
+    nee_lights=None,
+    rr_start: int = 0,
 ):
     """Whole-frame render via the fast path (host-driven loop).
 
@@ -1284,12 +1517,28 @@ def render_frame_fast(
     ro = ro.reshape(R, 3)
     rd = rd.reshape(R, 3)
     t = t.reshape(R)
+    # scene-scale frames trace in TILE pixel order: kernel blocks become
+    # compact frusta the in-kernel AABB culls can actually prune (see
+    # _tile_perm_np). Same estimator — lanes are renamed, the counter RNG
+    # keys on lane ids, and the image is un-permuted after the trace.
+    n_tiles = (scene.spheres.center.shape[0] + TILE_N - 1) // TILE_N
+    tile_layout = (
+        bvh is None and features.has_spheres and not features.has_motion
+        and n_tiles >= CULL_MIN_TILES and height >= 64 and width >= 64
+    )
+    inv_perm = None
+    if tile_layout:
+        order_np, inv_np = _tile_perm_np(height, width)
+        ro, rd, t = _permute_rays_jit(ro, rd, t, jnp.asarray(order_np),
+                                      samples)
+        inv_perm = jnp.asarray(inv_np)
     FRAME_CHUNK = frame_chunk(features)
     if R <= FRAME_CHUNK:
         radiance, ray_count = trace_fast(
             scene, ro, rd, t, seed, max_depth, features,
             min_size=min_size, compaction=compaction, group=group,
             bvh=bvh, bvh_offsets=bvh_offsets,
+            nee_lights=nee_lights, rr_start=rr_start,
         )
     else:
         parts = []
@@ -1301,6 +1550,7 @@ def render_frame_fast(
                 features, min_size=min_size, compaction=compaction,
                 group=group, lane_offset=lo,
                 bvh=bvh, bvh_offsets=bvh_offsets,
+                nee_lights=nee_lights, rr_start=rr_start,
             )
             parts.append(rad_c)
             counts.append(cnt_c)
@@ -1309,7 +1559,10 @@ def render_frame_fast(
         # ~10B) — DeviceRayCount sums host-side in python ints at int() time
         ray_count = DeviceRayCount(counts)
         radiance = jnp.concatenate(parts, axis=0)
-    img = radiance.reshape(height, width, samples, 3).mean(axis=2)
+    if inv_perm is not None:
+        img = _unpermute_image_jit(radiance, inv_perm, height, width, samples)
+    else:
+        img = radiance.reshape(height, width, samples, 3).mean(axis=2)
     return img, ray_count
 
 
@@ -1337,6 +1590,8 @@ def trace_fast(
     lane_offset: int = 0,
     bvh=None,
     bvh_offsets=None,
+    nee_lights=None,
+    rr_start: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Host-driven fast trace with stream compaction.
 
@@ -1379,7 +1634,15 @@ def trace_fast(
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
 
-    if fused_shade_supported(features):
+    # NEE and Russian roulette live on the XLA shading flavor (the fused
+    # kernel owns emission/scatter internally; the estimator math, the
+    # shadow-ray dispatch and the roulette all need the winner data the
+    # XLA flavor already has in [R]-plane land). --nee/--rr therefore
+    # keep the full fast-path machinery — Pallas closest hit, one row
+    # gather, the compaction ladder — and trade only the fused-shading
+    # delta, instead of forfeiting the whole fast path (the r4 gap).
+    if (fused_shade_supported(features) and nee_lights is None
+            and rr_start == 0):
         # fused path: plane-form state + Pallas shading (sphere/rect scenes);
         # pad to 1024-ray multiples so plane blocks satisfy the Mosaic
         # sublane-divisibility constraint (compaction rungs below 1024 are
@@ -1402,7 +1665,7 @@ def trace_fast(
             return fn(
                 tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
                 max_depth, features, prims, group=g,
-                cull_first=cull_scene and depth == 0,
+                cull_first=cull_scene and (depth == 0 or CULL_ALL_DEPTHS),
                 bvh=bvh, bvh_offsets=bvh_offsets, atlas=atlas,
                 bvh_first=(depth == 0),
             )
@@ -1489,6 +1752,8 @@ def trace_fast(
         throughput=jnp.ones(ro.shape, ro.dtype),
         alive=jnp.ones(ro.shape[0], bool),
         lane=jnp.arange(lane_offset, lane_offset + ro.shape[0], dtype=jnp.uint32),
+        emit_scale=(jnp.ones(ro.shape[0], ro.dtype)
+                    if nee_lights is not None else None),
     )
 
     def step(state, depth, g):
@@ -1496,6 +1761,7 @@ def trace_fast(
             tables, sky, grad_sky, state, seed_arr, jnp.int32(depth),
             max_depth, features, scene, group=g,
             bvh=bvh, bvh_offsets=bvh_offsets,
+            nee_lights=nee_lights, rr_start=rr_start,
         )
 
     # group bounces only for small wavefronts on this path: at large R the
@@ -1539,6 +1805,14 @@ COMPACT_SHRINK = 0.35
 # Static sphere scenes spanning at least this many 128-sphere tiles use the
 # in-kernel per-tile AABB cull (tools/cull_probe.py economics). Patchable.
 CULL_MIN_TILES = 8
+
+# Run the in-kernel AABB cull on EVERY bounce of big static scenes, not
+# just depth 0. Pre-tile-order, bounce blocks were too divergent to skip
+# tiles (tools/cull_probe.py r3: scattered 151->211 ms) — the tile-ordered
+# frame layout keeps bounce blocks pixel-tile coherent and inverts the
+# verdict: XL end-to-end 8.5 (primary-only) -> 9.9 Mrays/s (all depths)
+# same-window (tools/xl_bench.py, r5). Patchable.
+CULL_ALL_DEPTHS = True
 
 # BVH-mode count-skip floor: traversal bounces are ~20x a brute bounce, so
 # count reads (and the compactions they enable) pay down to much smaller

@@ -71,19 +71,22 @@ _STATE_FIELDS = (
 
 
 def fused_shade_supported(features: SceneFeatures) -> bool:
-    """Every scene class except image textures.
+    """Every scene class except image-on-boxes/media.
 
-    The kernel CAN shade image scenes (``img_planes`` from the XLA UV +
-    atlas-gather pre-pass, ``fastpath._image_rgb_planes`` — implemented,
-    bit-matches the XLA branch, exercised by tests), but measured
-    end-to-end it LOSES on the image scene family: `earth` has no noise
-    octaves, so the fused kernel's big win (in-kernel turbulence on
-    packed planes) never fires, while the pre-pass re-pays the UV math
-    and winner-column extracts the XLA branch pays anyway —
-    epoch-adjusted 1280x720@16spp: XLA branch ~12 Mrays/s vs fused ~7
-    (r4, BASELINE_MEASURED/PERF.md). Routing follows the measurement;
-    flip here if an image+noise workload appears."""
-    return not features.has_image
+    Image scenes ride the fused kernel via the plane-form pre-pass
+    (``fastpath._image_rgb_planes``: winner UV + one gather on the
+    TRANSPOSED [3, N] atlas so nothing materializes 128x-padded). The r4
+    measurement that kept image scenes on the XLA branch (~12 Mrays/s XLA
+    vs ~7 fused) was dominated by the r4 pre-pass's own layout sins —
+    strided ``attrs[:, k]`` column extracts and a padded [R, 3] gather
+    result; with those fixed, the r5 same-window earth probe reads the
+    XLA flavor at 10.2 Mrays/s vs the fused flavor at 21.8 on identical
+    geometry (tools/earth_probe.py). Image-on-boxes/media still shades in
+    XLA: the pre-pass has no box-UV branch (mirror fast_bounce's before
+    flipping that too)."""
+    if features.has_image and (features.has_boxes or features.has_media):
+        return False
+    return True
 
 
 def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):

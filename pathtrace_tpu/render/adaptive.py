@@ -66,6 +66,51 @@ def _render_pixels(
     return rad.sum(axis=1), (rad * rad).sum(axis=1), rays
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "samples"),
+)
+def _gen_pixel_rays(camera, ids, width, height, samples, key):
+    """Primary rays for K chosen pixels (the fast-path front half of
+    :func:`_render_pixels`, split out so the trace can be the host-driven
+    fast path instead of one jitted general program)."""
+    K = ids.shape[0]
+    px = (ids % width).astype(jnp.float32)
+    py = (ids // width).astype(jnp.float32)
+    kj, kc = jax.random.split(key)
+    jit_u = jax.random.uniform(kj, (K, samples, 2))
+    cam_u = jax.random.uniform(kc, (K, samples, 3))
+    s = (px[:, None] + jit_u[..., 0]) / width
+    t = (py[:, None] + jit_u[..., 1]) / height
+    ro, rd, time = get_rays(camera, s, t, cam_u)
+    R = K * samples
+    return ro.reshape(R, 3), rd.reshape(R, 3), time.reshape(R)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pixel_sums(rad, samples_shape):
+    rad = rad.reshape(samples_shape + (3,))
+    return rad.sum(axis=1), (rad * rad).sum(axis=1)
+
+
+def _render_pixels_fast(scene, camera, ids, width, height, samples,
+                        max_depth, key, seed, features, nee_lights=None):
+    """Fast-path twin of :func:`_render_pixels`: the gathered pixel
+    wavefront rides trace_fast (Pallas closest hit + fused shading +
+    compaction ladder) — adaptive refinement no longer forfeits the fast
+    path's throughput (r4 verdict item)."""
+    from pathtrace_tpu.ops.fastpath import trace_fast
+
+    K = ids.shape[0]
+    ro, rd, time = _gen_pixel_rays(camera, ids, width, height, samples, key)
+    rad, rays = trace_fast(
+        scene, ro, rd, time, seed, max_depth, features,
+        nee_lights=nee_lights, min_size=1 << 12,
+    )
+    s1, s2 = _pixel_sums(rad, (K, samples))
+    return s1, s2, rays
+
+
 def render_adaptive(
     scene: Scene,
     camera: Camera,
@@ -75,15 +120,21 @@ def render_adaptive(
     warmup_frames: int = 2,
     frac: float = 0.25,
     nee_lights=None,
+    mode: str = "auto",
     log=print,
 ) -> Tuple[np.ndarray, int, np.ndarray]:
     """Render with a total sample budget of ``budget_spp * W * H`` paths.
 
     Returns (image [H, W, 3], total_rays, spp_map [H, W]). ``frac`` is the
     fraction of pixels refined per adaptive round; allocation ranks pixels
-    by the variance of their current mean estimate.
+    by the variance of their current mean estimate. ``mode="auto"`` traces
+    each round's gathered wavefront on the fast path when the scene class
+    supports it (``"general"`` forces the general integrator).
     """
     features = features or SceneFeatures.from_scene(scene)
+    from pathtrace_tpu.ops.fastpath import fastpath_supported
+
+    use_fast = mode != "general" and fastpath_supported(features, scene)
     W, H, S = params.width, params.height, params.samples
     n_pix = W * H
     scene = jax.device_put(scene)
@@ -99,13 +150,21 @@ def render_adaptive(
     budget = budget_spp * n_pix
     rnd = 0
 
+    def render_round(ids, key, rnd):
+        if use_fast:
+            return _render_pixels_fast(
+                scene, camera, ids, W, H, S, params.max_depth, key,
+                seed * 1000003 + rnd + 17, features, nee_lights,
+            )
+        return _render_pixels(
+            scene, camera, ids, W, H, S, params.max_depth, key,
+            features, nee_lights,
+        )
+
     # uniform warmup: the variance estimate needs >= 2 samples everywhere
     for _ in range(max(warmup_frames, 2)):
         key = jax.random.fold_in(base_key, rnd)
-        s1, s2, rays = _render_pixels(
-            scene, camera, all_ids, W, H, S, params.max_depth, key,
-            features, nee_lights,
-        )
+        s1, s2, rays = render_round(all_ids, key, rnd)
         ssum, ssq = ssum + s1, ssq + s2
         cnt = cnt + S
         total_rays += int(rays)
@@ -120,10 +179,7 @@ def render_adaptive(
         metric = np.asarray((var.sum(axis=1) / cnt))
         ids = np.argpartition(metric, n_pix - K)[-K:].astype(np.int32)
         key = jax.random.fold_in(base_key, rnd)
-        s1, s2, rays = _render_pixels(
-            scene, camera, jnp.asarray(ids), W, H, S, params.max_depth, key,
-            features, nee_lights,
-        )
+        s1, s2, rays = render_round(jnp.asarray(ids), key, rnd)
         ssum = ssum.at[ids].add(s1)
         ssq = ssq.at[ids].add(s2)
         cnt = cnt.at[ids].add(S)

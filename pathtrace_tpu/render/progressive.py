@@ -141,27 +141,29 @@ def render_progressive(
 
     nee_lights = None
     if nee:
-        # NEE rides the general integrator (quality mode: one extra shadow
-        # intersection per diffuse bounce); lightless scenes fall through
-        # with nee_lights=None, which is the identical default estimator
+        # NEE rides the fast path (its XLA shading flavor: same Pallas
+        # closest hit + compaction ladder + one shadow intersection per
+        # diffuse bounce) or the general integrator; lightless scenes fall
+        # through with nee_lights=None, the identical default estimator
         from pathtrace_tpu.ops.lights import build_light_table
 
         nee_lights = build_light_table(scene)
         if nee_lights is not None:
             nee_lights = jax.device_put(nee_lights)
-            if mode not in ("auto", "general"):
-                log(f"nee: ignored in --mode {mode} (general-path feature)")
+            if mode in ("sharded", "compacted"):
+                log(f"nee: ignored in --mode {mode} (fast/general feature)")
                 nee_lights = None
 
     # mode selection: the fast path (pallas closest-hit + single-row-gather
-    # shading + stream compaction) when the scene class supports it
+    # shading + stream compaction) when the scene class supports it.
+    # --nee/--rr no longer disqualify it (the r4 verdict's "quality
+    # features silently forfeit the fast path").
     from pathtrace_tpu.ops.fastpath import fastpath_supported, render_frame_fast
 
     use_fast = (
         mode == "fast"
         or (mode == "auto" and fastpath_supported(features, scene)
-            and sphere_nearest_fn is None and intersect_fn is None
-            and nee_lights is None and rr_start == 0)
+            and sphere_nearest_fn is None and intersect_fn is None)
     )
 
     route_path = "general"
@@ -180,6 +182,7 @@ def render_progressive(
                 params.max_depth, key, seed * 1000003 + frame_idx, features,
                 compaction=compaction, group=group, stratify=stratify,
                 bvh=bvh_fast, bvh_offsets=bvh_offsets,
+                nee_lights=nee_lights, rr_start=rr_start,
             )
     elif mode == "sharded":
         # data-parallel frame over ALL visible devices (parallel/mesh.py):

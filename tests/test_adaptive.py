@@ -52,10 +52,41 @@ class TestAdaptive:
         for seed in range(3):
             p2 = Params(width=32, height=32, samples=2, max_depth=6,
                         seed=seed)
+            # mode="general": the uniform comparator renders on the general
+            # integrator, so the allocation-beats-uniform claim must hold
+            # integrator-for-integrator (the fast-path twin is covered by
+            # TestAdaptiveFastPath)
             img_a, _, _ = render_adaptive(scene, cam, p2, 16, features=feats,
-                                          log=lambda _s: None)
+                                          mode="general", log=lambda _s: None)
             img_u, _ = _uniform(scene, cam, 32, 32, 16, 6, seed=100 + seed,
                                 feats=feats)
             errs_a.append(((img_a - ref) ** 2).mean())
             errs_u.append(((img_u - ref) ** 2).mean())
         assert np.mean(errs_a) < np.mean(errs_u), (errs_a, errs_u)
+
+
+class TestAdaptiveFastPath:
+    def test_fast_matches_general_statistically(self):
+        import jax
+
+        from pathtrace_tpu.config import Params
+        from pathtrace_tpu.models import presets
+        from pathtrace_tpu.render.adaptive import render_adaptive
+
+        scene, cam = presets.small(aspect=1.0)
+        params = Params(width=24, height=24, samples=2, max_depth=4)
+        img_f, rays_f, spp_f = render_adaptive(
+            scene, cam, params, budget_spp=8, mode="auto",
+            log=lambda s: None,
+        )
+        img_g, rays_g, spp_g = render_adaptive(
+            scene, cam, params, budget_spp=8, mode="general",
+            log=lambda s: None,
+        )
+        assert rays_f > 0 and rays_g > 0
+        # same allocation budget; estimators agree in the mean
+        assert abs(spp_f.mean() - spp_g.mean()) < 1e-6
+        assert abs(float(img_f.mean()) - float(img_g.mean())) < 0.03
+        import numpy as np
+
+        assert np.isfinite(img_f).all()

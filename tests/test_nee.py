@@ -242,3 +242,124 @@ class TestMIS:
         assert abs(float(a.mean()) - float(b.mean())) < 0.05 * float(b.mean()), (
             a.mean(), b.mean()
         )
+
+
+def _render_fast(preset, nee, seed, w=48, h=48, spp=16, depth=8,
+                 rr_start=0, compaction=True):
+    from pathtrace_tpu.ops.fastpath import render_frame_fast
+
+    scene, cam = presets.from_name(preset, aspect=w / h, seed=0)
+    feats = SceneFeatures.from_scene(scene)
+    lt = build_light_table(scene) if nee else None
+    img, rays = render_frame_fast(
+        scene, cam, w, h, spp, depth, jax.random.PRNGKey(seed), seed * 7 + 1,
+        feats, nee_lights=lt, rr_start=rr_start, compaction=compaction,
+        min_size=256,
+    )
+    return np.asarray(img), int(rays)
+
+
+class TestFastPathEstimator:
+    """NEE with MIS on the FAST path (r4 verdict: quality features no
+    longer forfeit the fast path). Same estimator as the general
+    integrator's, counter-hash RNG, shadow rays through nearest_t_only."""
+
+    @pytest.mark.parametrize("preset", ["cornell", "simple_light"])
+    def test_unbiased_same_mean(self, preset):
+        a = np.mean([_render_fast(preset, True, s)[0] for s in range(4)],
+                    axis=0)
+        b = np.mean([_render_fast(preset, False, 100 + s)[0]
+                     for s in range(4)], axis=0)
+        assert abs(float(a.mean()) - float(b.mean())) < 0.03, (
+            a.mean(), b.mean()
+        )
+
+    def test_variance_reduction_cornell(self):
+        strat = np.stack([_render_fast("cornell", True, s, spp=4)[0]
+                          for s in range(4)])
+        plain = np.stack([_render_fast("cornell", False, 100 + s, spp=4)[0]
+                          for s in range(4)])
+        v_nee = strat.std(axis=0).mean()
+        v_plain = plain.std(axis=0).mean()
+        assert v_nee < 0.35 * v_plain, (v_nee, v_plain)
+
+    def test_matches_general_nee_statistically(self):
+        fast = np.mean([_render_fast("cornell", True, s)[0]
+                        for s in range(3)], axis=0)
+        gen = np.mean([_render("cornell", True, 50 + s)[0]
+                       for s in range(3)], axis=0)
+        assert abs(float(fast.mean()) - float(gen.mean())) < 0.02, (
+            fast.mean(), gen.mean()
+        )
+
+    def test_compaction_bit_identical_with_nee(self):
+        a, ra = _render_fast("cornell", True, 5, spp=4, compaction=True)
+        b, rb = _render_fast("cornell", True, 5, spp=4, compaction=False)
+        np.testing.assert_array_equal(a, b)
+        assert ra == rb
+
+    def test_shadow_rays_counted(self):
+        _, ra = _render_fast("cornell", True, 3, spp=2)
+        _, rb = _render_fast("cornell", False, 3, spp=2)
+        assert ra > rb
+
+    def test_progressive_auto_keeps_fast_path_with_nee(self):
+        from pathtrace_tpu.config import Params
+        from pathtrace_tpu.render.progressive import render_progressive
+
+        scene, cam = presets.cornell(aspect=1.0)
+        params = Params(width=16, height=16, samples=2, max_depth=4)
+        r = render_progressive(scene, cam, params, max_frames=1,
+                               mode="auto", nee=True, log=lambda s: None)
+        assert r.path == "fast"
+        assert np.isfinite(r.image).all() and r.image.max() > 0
+
+    def test_rr_fast_unbiased_and_kills_paths(self):
+        # Russian roulette on the fast path: same mean, fewer segments
+        a = np.mean([_render_fast("cornell", False, s, depth=10,
+                                  rr_start=3)[0] for s in range(6)], axis=0)
+        b = np.mean([_render_fast("cornell", False, 60 + s, depth=10)[0]
+                     for s in range(6)], axis=0)
+        assert abs(float(a.mean()) - float(b.mean())) < 0.035, (
+            a.mean(), b.mean()
+        )
+        _, r_rr = _render_fast("cornell", False, 1, depth=10, rr_start=2)
+        _, r_pl = _render_fast("cornell", False, 1, depth=10)
+        assert r_rr < r_pl
+
+    def test_progressive_auto_keeps_fast_path_with_rr(self):
+        from pathtrace_tpu.config import Params
+        from pathtrace_tpu.render.progressive import render_progressive
+
+        scene, cam = presets.cornell(aspect=1.0)
+        params = Params(width=16, height=16, samples=2, max_depth=6)
+        r = render_progressive(scene, cam, params, max_frames=1,
+                               mode="auto", rr_start=2, log=lambda s: None)
+        assert r.path == "fast"
+        assert np.isfinite(r.image).all()
+
+    def test_nee_with_bvh_provider(self):
+        # -B --nee: shadow rays traverse the tree too
+        from pathtrace_tpu.models import bvh as pbvh
+        from pathtrace_tpu.ops.fastpath import render_frame_fast
+
+        scene, cam = presets.cornell(aspect=1.0)
+        feats = SceneFeatures.from_scene(scene)
+        lt = build_light_table(scene)
+        flat, _, offsets = pbvh.build_scene_bvh(scene, seed=0)
+        img, rays = render_frame_fast(
+            scene, cam, 24, 24, 4, 6, jax.random.PRNGKey(2), 77, feats,
+            nee_lights=lt, bvh=flat, bvh_offsets=offsets, min_size=256,
+        )
+        img2, _ = render_frame_fast(
+            scene, cam, 24, 24, 4, 6, jax.random.PRNGKey(2), 77, feats,
+            nee_lights=lt, min_size=256,
+        )
+        # same estimator, same RNG, identical winners — but box-hit t
+        # values differ in the last float bits between the brute and BVH
+        # providers (per-ray gathered-affine einsum vs broadcast einsum),
+        # which can flip an occlusion test for rays grazing the light's
+        # silhouette. Near-equality, not bit-identity, is the contract.
+        np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
+                                   atol=5e-3)
+        assert int(rays) > 0

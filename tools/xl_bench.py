@@ -42,14 +42,13 @@ def main() -> int:
     }), flush=True)
 
     def burst(tag):
-        img, rays = None, 0
         # warmup/compile
         i, r = fp.render_frame_fast(
             scene, camera, width, height, samples, max_depth,
             jax.random.PRNGKey(0), 0, features,
         )
         np.asarray(i)
-        total = 0
+        counts = []
         acc = None
         t0 = time.perf_counter()
         for f in range(1, n_frames + 1):
@@ -58,18 +57,24 @@ def main() -> int:
                 jax.random.PRNGKey(f), f, features,
             )
             acc = i if acc is None else acc + i
-            total += int(r)
+            counts.append(r)   # device scalars; int() deferred — a per-
+            #                    frame int() is a serializing round trip
         np.asarray(acc)
         dt = time.perf_counter() - t0
+        total = sum(int(c) for c in counts)
         print(json.dumps({
             "bench": f"xl/{tag}",
             "mrays_per_s": round(total / 1e6 / dt, 2),
             "wall_s": round(dt, 2),
         }), flush=True)
 
-    burst("cull_primary")           # default: 33 tiles >= CULL_MIN_TILES
+    fp.CULL_ALL_DEPTHS = False
+    burst("cull_primary")           # r4 behavior: depth-0 cull only
+    fp.CULL_ALL_DEPTHS = True
+    burst("cull_all_depths")        # the default: tile-ordered bounce
+    #                                 blocks stay pixel-coherent (r5)
     fp.CULL_MIN_TILES = 10_000
-    burst("no_cull")
+    burst("no_cull")                # also disables the tile-order layout
     return 0
 
 
