@@ -119,14 +119,16 @@ def _film_points(camera, centers, radii, phis, offsets=None):
 
 
 def _edge_radiance_pairs(scene, camera, s, t, n_hat_px, eps_px, width, height,
-                         key, max_depth, features, lens_uni=None):
+                         key, max_depth, features, lens_uni=None,
+                         time_uni=None):
     """Trace ray pairs straddling the edge at film points (s, t).
 
     ``n_hat_px``: outward edge normal in pixel units. ``lens_uni`` [K, 2]:
     the lens-disk uniforms the film points were projected with (aperture
     > 0) — the pair must ride the SAME lens point as the projection or the
-    edge blurs out of the pair's line of sight. Returns
-    (L_in - L_out) [K, 3]."""
+    edge blurs out of the pair's line of sight. ``time_uni`` [K]: shutter
+    uniforms the contours were evaluated at (moving spheres) — the pair
+    must likewise ride the SAME time. Returns (L_in - L_out) [K, 3]."""
     duv = jnp.stack([n_hat_px[..., 0] / width, n_hat_px[..., 1] / height],
                     axis=-1) * eps_px
     s_in = s - duv[..., 0]
@@ -136,12 +138,14 @@ def _edge_radiance_pairs(scene, camera, s, t, n_hat_px, eps_px, width, height,
     ss = jnp.concatenate([s_in, s_out])
     tt = jnp.concatenate([t_in, t_out])
     if lens_uni is None:
-        uni = jnp.full(ss.shape + (3,), 0.5)
+        lens2 = jnp.full(ss.shape + (2,), 0.5)
     else:
         lens2 = jnp.concatenate([lens_uni, lens_uni], axis=0)
-        uni = jnp.concatenate(
-            [lens2, jnp.full(ss.shape + (1,), 0.5)], axis=-1
-        )
+    if time_uni is None:
+        t2 = jnp.full(ss.shape + (1,), 0.5)
+    else:
+        t2 = jnp.concatenate([time_uni, time_uni])[:, None]
+    uni = jnp.concatenate([lens2, t2], axis=-1)
     ro, rd, tm = get_rays(camera, ss, tt, uni)
     radiance, _ = integrator.trace(
         scene, ro, rd, tm, key, max_depth, features=features
@@ -171,17 +175,40 @@ def silhouette_grads(
 
     ``grad_img``: [H, W, 3] loss cotangent dLoss/dimage (image row 0 =
     bottom, the render-time convention). Returns (d_center [N, 3],
-    d_radius [N]) to be ADDED to the interior autodiff gradients.
+    d_center_delta [N, 3], d_radius [N]) to be ADDED to the interior
+    autodiff gradients.
+
+    Moving spheres (``features.has_motion``): each edge sample draws a
+    shutter time and evaluates the contour at that time's center
+    ``c + s(τ)·Δ`` — the pair rays ride the SAME time — so the boundary
+    term is a Monte-Carlo estimate over the shutter interval and the vjp
+    yields the ``center_delta`` component too (the r4 gap: contours were
+    evaluated at time-0 centers only).
     """
     features = features or SceneFeatures.all_on()
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     centers = scene.spheres.center
+    deltas = scene.spheres.center_delta
     radii = scene.spheres.radius
     S = centers.shape[0]
     M = n_samples
     # stratified jittered angles, shared across spheres
     jitter = jax.random.uniform(jax.random.fold_in(key, 0), (M,))
     phis = (jnp.arange(M) + jitter) * (TWO_PI / M)
+
+    # per-sample shutter times (shared across spheres, like the angles)
+    motion = bool(features.has_motion)
+    if motion:
+        tau = jax.random.uniform(jax.random.fold_in(key, 3), (M,))
+        t_ray = camera.time0 + tau * (camera.time1 - camera.time0)
+        sfac = (t_ray[None, :] - scene.spheres.time0[:, None]) * \
+            scene.spheres.inv_time_delta[:, None]              # [S, M]
+    else:
+        tau = None
+        sfac = jnp.zeros((S, M))
+
+    def eff_centers(c, d):
+        return c[:, None, :] + sfac[..., None] * d[:, None, :]  # [S, M, 3]
 
     # aperture > 0: Monte-Carlo over the lens — each edge sample rides its
     # own lens point (offset -> contour -> projection -> pair rays all
@@ -195,21 +222,29 @@ def silhouette_grads(
     )                                                            # [M,3]
 
     # --- geometry of the projected contour (values, no grad yet) ---
-    P, in_front = _film_points(camera, centers, radii, phis, offsets)
+    c_eff = eff_centers(centers, deltas)
+    P, in_front = _film_points(camera, c_eff, radii, phis, offsets)
     P = jax.lax.stop_gradient(P)
     Ppx = P * jnp.asarray([width, height])                       # pixel units
-    # tangent via central difference along the closed curve
-    tangent = (jnp.roll(Ppx, -1, axis=1) - jnp.roll(Ppx, 1, axis=1)) * (
-        0.5 * M / TWO_PI
-    )                                                            # dP/dφ [S,M,2]
+    # tangent dP/dφ via a per-sample central difference AT THE SAME
+    # (time, lens point): a roll along the sample axis would mix
+    # neighbors that ride different shutter times / lens offsets, turning
+    # the tangent (and hence the edge normal) into noise — measured as a
+    # ~17x-understated center_delta gradient before this fix
+    eps_phi = 1e-3
+    Pp, _ = _film_points(camera, c_eff, radii, phis + eps_phi, offsets)
+    Pm, _ = _film_points(camera, c_eff, radii, phis - eps_phi, offsets)
+    tangent = jax.lax.stop_gradient(Pp - Pm) * jnp.asarray(
+        [width, height]
+    ) / (2.0 * eps_phi)                                          # [S,M,2]
     speed = jnp.sqrt(jnp.maximum(jnp.sum(tangent**2, axis=-1), 1e-12))
     n_hat = jnp.stack(
         [tangent[..., 1], -tangent[..., 0]], axis=-1
     ) / speed[..., None]
-    # orient outward: away from the projected sphere center
-    pc_s, pc_t, _ = project_to_film(camera, centers)             # [S]
-    pc = jnp.stack([pc_s * width, pc_t * height], axis=-1)       # [S,2]
-    out_dir = Ppx - pc[:, None, :]
+    # orient outward: away from the projected (per-sample-time) center
+    pc_s, pc_t, _ = project_to_film(camera, c_eff)               # [S,M]
+    pc = jnp.stack([pc_s * width, pc_t * height], axis=-1)       # [S,M,2]
+    out_dir = Ppx - pc
     flip = jnp.sign(
         jnp.sum(n_hat * out_dir, axis=-1, keepdims=True) + 1e-12
     )
@@ -221,6 +256,7 @@ def silhouette_grads(
         scene, camera, flat(P[..., 0]), flat(P[..., 1]), flat(n_hat),
         eps_px, width, height, jax.random.fold_in(key, 1), max_depth,
         features, lens_uni=jnp.tile(lens_uni, (S, 1)),
+        time_uni=jnp.tile(tau, (S,)) if motion else None,
     ).reshape(S, M, 3)
 
     # --- pixel cotangent at each edge sample ---
@@ -242,13 +278,13 @@ def silhouette_grads(
     cotangent = jax.lax.stop_gradient(cotangent)
 
     # --- pull the image-space cotangent back through the projection ---
-    def film_px(c, r):
-        Pf, _ = _film_points(camera, c, r, phis, offsets)
+    def film_px(c, d, r):
+        Pf, _ = _film_points(camera, eff_centers(c, d), r, phis, offsets)
         return Pf * jnp.asarray([width, height])
 
-    _, vjp = jax.vjp(film_px, centers, radii)
-    d_center, d_radius = vjp(cotangent)
-    return d_center, d_radius
+    _, vjp = jax.vjp(film_px, centers, deltas, radii)
+    d_center, d_delta, d_radius = vjp(cotangent)
+    return d_center, d_delta, d_radius
 
 
 # ---------------------------------------------------------------------------
@@ -505,13 +541,15 @@ def silhouette_grads_all(scene, camera, width, height, grad_img, key,
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     out = {}
     if features.has_spheres:
-        d_center, d_radius = silhouette_grads(
+        d_center, d_delta, d_radius = silhouette_grads(
             scene, camera, width, height, grad_img,
             jax.random.fold_in(key, 1), max_depth=max_depth,
             features=features, n_samples=n_samples,
         )
         out["spheres.center"] = d_center
         out["spheres.radius"] = d_radius
+        if features.has_motion:
+            out["spheres.center_delta"] = d_delta
     if features.has_rects:
         out.update(rect_silhouette_grads(
             scene, camera, width, height, grad_img,

@@ -93,7 +93,7 @@ class TestEdgeGradient:
         # boundary term
         img0 = render(scene0, key)
         grad_img = np.asarray(2.0 * (img0 - target) / img0.size)
-        d_center, d_radius = silhouette_grads(
+        d_center, _d_delta, d_radius = silhouette_grads(
             scene0, CAM, W, H, jnp.asarray(grad_img),
             jax.random.PRNGKey(9), max_depth=DEPTH, features=feats,
             n_samples=512,
@@ -284,7 +284,7 @@ class TestEdgeGradient:
         feats = SceneFeatures.from_scene(scene0)
         img0 = np.asarray(rend(scene0, key))
         grad_img = jnp.asarray(2.0 * (img0 - target) / img0.size)
-        d_center, _ = silhouette_grads(
+        d_center, _d_delta, _ = silhouette_grads(
             scene0, cam, 40, 40, grad_img, jax.random.PRNGKey(9),
             max_depth=DEPTH, features=feats, n_samples=2048,
         )
@@ -349,3 +349,89 @@ class TestEdgeGradient:
                 state, target, jax.random.fold_in(key, step)
             )
         assert abs(float(state.params[0][0, 0]) - 0.3) < 0.05
+
+
+MCAM = make_camera((0.0, 0.0, 3.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                   45.0, 1.0, aperture=0.0, focus_dist=3.0,
+                   time0=0.0, time1=1.0)
+
+
+def moving_flat_scene(dx):
+    """Flat-shaded MOVING sphere: center sweeps (0,0,0) -> (dx,0,0) over
+    the shutter. All positional signal is in the (time-averaged)
+    silhouette."""
+    b = SceneBuilder()
+    b.moving_sphere((0.0, 0.0, 0.0), (dx, 0.0, 0.0), 0.0, 1.0, 0.6,
+                    b.lambertian_color((0.15, 0.15, 0.15)))
+    b.sky = (0.75, 0.75, 0.75)
+    return b.finish()
+
+
+def set_delta_x(scene, dx):
+    delta = jnp.asarray(scene.spheres.center_delta).at[0, 0].set(dx)
+    sph = dataclasses.replace(scene.spheres, center_delta=delta)
+    return dataclasses.replace(scene, spheres=sph)
+
+
+def render_m(scene, key, differentiable=False):
+    feats = SceneFeatures.from_scene(scene)
+    img, _ = render_frame(scene, MCAM, W, H, 16, DEPTH, key,
+                          differentiable=differentiable, features=feats)
+    return img
+
+
+class TestMovingSilhouette:
+    def test_fd_vs_boundary_term_center_delta(self):
+        """d(MSE)/d(center_delta.x): the contour is evaluated at per-sample
+        shutter times, so the boundary vjp carries the motion component
+        (r4 gap: contours were time-0 only and d_delta was zero)."""
+        key = jax.random.PRNGKey(4)
+        target = np.asarray(render_m(moving_flat_scene(0.2), key))
+        dx0 = 0.55
+        scene0 = moving_flat_scene(dx0)
+        feats = SceneFeatures.from_scene(scene0)
+        assert feats.has_motion
+
+        def loss_of_dx(dx):
+            img = render_m(set_delta_x(scene0, dx), key, differentiable=True)
+            return jnp.mean((img - target) ** 2)
+
+        g_int = float(jax.grad(loss_of_dx)(jnp.float32(dx0)))
+
+        img0 = render_m(scene0, key)
+        grad_img = np.asarray(2.0 * (img0 - target) / img0.size)
+        d_center, d_delta, _ = silhouette_grads(
+            scene0, MCAM, W, H, jnp.asarray(grad_img),
+            jax.random.PRNGKey(11), max_depth=DEPTH, features=feats,
+            n_samples=1024,
+        )
+        g_edge = float(d_delta[0, 0])
+
+        h = 0.04
+        lp = float(loss_of_dx(jnp.float32(dx0 + h)))
+        lm = float(loss_of_dx(jnp.float32(dx0 - h)))
+        g_fd = (lp - lm) / (2 * h)
+
+        # the FD signal is real and the interior term alone misses it
+        assert abs(g_fd) > 5 * abs(g_int), (g_fd, g_int)
+        g_ad = g_int + g_edge
+        assert np.sign(g_ad) == np.sign(g_fd)
+        assert abs(g_ad - g_fd) < 0.5 * abs(g_fd), (g_ad, g_fd, g_int, g_edge)
+        # and the center term still matches the static estimator's role:
+        # d_center ~ the same edge force (delta rides half the shutter on
+        # average, so |d_delta| ~ E[s]·|d_center|)
+        assert abs(d_center[0, 0]) > 0.0
+
+    def test_grads_all_exposes_center_delta(self):
+        from pathtrace_tpu.ops.silhouette import silhouette_grads_all
+
+        scene = moving_flat_scene(0.4)
+        feats = SceneFeatures.from_scene(scene)
+        out = silhouette_grads_all(
+            scene, MCAM, W, H, jnp.ones((H, W, 3)) / (W * H * 3),
+            jax.random.PRNGKey(5), max_depth=DEPTH, features=feats,
+            n_samples=256,
+        )
+        assert "spheres.center_delta" in out
+        assert np.isfinite(np.asarray(out["spheres.center_delta"])).all()
+        assert np.abs(np.asarray(out["spheres.center_delta"])).max() > 0.0
