@@ -445,6 +445,7 @@ class SceneBuilder:
                 y_offset=np.asarray(yoffs, i32),
                 height=np.asarray(hs, i32),
                 width=np.asarray(ws, i32),
+                data_planes=np.ascontiguousarray(atlas.reshape(-1, 3).T),
             )
         else:
             at = T.ImageAtlas(
@@ -452,6 +453,7 @@ class SceneBuilder:
                 y_offset=np.zeros(1, i32),
                 height=np.ones(1, i32),
                 width=np.ones(1, i32),
+                data_planes=np.zeros((3, 1), f32),
             )
 
         sky = np.zeros(3, f32) if self.sky is None else _v3(self.sky)

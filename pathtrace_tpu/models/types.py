@@ -258,6 +258,10 @@ class ImageAtlas:
     y_offset: Any  # [I] i32
     height: Any   # [I] i32
     width: Any    # [I] i32
+    # plane-form twin [3, H*W] built once at scene build: the [H, W, 3]
+    # form's minor dim of 3 pads 128x in device tiling, so the fast path's
+    # per-frame texel gathers ride this one instead (fastpath._atlas_planes)
+    data_planes: Any = None
 
 
 class SceneFeatures:

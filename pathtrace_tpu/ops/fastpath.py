@@ -923,7 +923,7 @@ def fast_bounce_fused(
     if hasattr(scene, "spheres"):
         prims = (scene.spheres, scene.rects, scene.boxes, scene.media)
         if features.has_image:
-            atlas = scene.atlas.data
+            atlas = _atlas_planes(scene)
     else:
         prims = scene
     return _fast_bounce_fused_prims(
@@ -1061,7 +1061,8 @@ def _image_rgb_planes(atlas, t, attrs3, state: FastStateP,
     them): winner attributes arrive as the (rows, K, 128) cube — column k
     is a contiguous plane slice, where ``attrs[:, k]`` extracts were
     strided reads (~27 ms/1M for K of them, tools/split_probe.py) — and
-    the texel gather runs on the TRANSPOSED [3, N] atlas so its output
+    the texel gather runs on the TRANSPOSED [3, N] atlas (prepared once
+    per trace by ``_atlas_planes`` — NOT per bounce) so its output
     [3, R] is three unpadded planes (a [R, 3] gather result pads its
     minor dim 128x at every fusion boundary, PERF.md trap)."""
     f = features
@@ -1109,9 +1110,8 @@ def _image_rgb_planes(atlas, t, attrs3, state: FastStateP,
                   jnp.maximum(img_w.astype(jnp.int32) - 1, 0))
     jj = jnp.clip(((1.0 - vv) * img_h - 0.001).astype(jnp.int32), 0,
                   jnp.maximum(img_h.astype(jnp.int32) - 1, 0))
-    w_atlas = atlas.shape[1]
+    atlas_t, w_atlas = atlas                             # [3, N] planes
     flat_idx = (img_y.astype(jnp.int32) + jj) * w_atlas + ii
-    atlas_t = atlas.reshape(-1, 3).T                     # [3, N] planes
     texel_t = jnp.take(atlas_t, flat_idx, axis=1)        # [3, R] unpadded
     return texel_t[0], texel_t[1], texel_t[2]
 
@@ -1133,7 +1133,13 @@ def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
 
     img_planes = None
     if features.has_image:
-        img_planes = _image_rgb_planes(atlas, t, attrs3, state, features)
+        import os as _os
+        if _os.environ.get("PATHTRACE_IMG_STUB"):
+            # diagnostic: constant texels, same kernel signature — isolates
+            # the pre-pass cost from the kernel's image branch
+            img_planes = (state.thr_r * 0.0 + 0.5,) * 3
+        else:
+            img_planes = _image_rgb_planes(atlas, t, attrs3, state, features)
 
     state_planes = {
         "rox": state.rox, "roy": state.roy, "roz": state.roz,
@@ -1201,6 +1207,18 @@ _bounce_group_fused_first = functools.partial(
 _bounce_group_fused_jit = functools.partial(
     jax.jit, static_argnames=_STATICS, donate_argnums=(3,)
 )(_bounce_group_fused)
+
+
+def _atlas_planes(scene: Scene):
+    """Atlas as a [3, N] plane-form array + its row width, hoisted OUT of
+    the bounce: the [H, W, 3] form's minor dim of 3 pads 128x in device
+    tiling, so transposing (or gathering) it per bounce re-reads the
+    whole padded layout — measured +410 ms/frame on earth (r5,
+    tools/earth_probe.py) before this hoist."""
+    w = jnp.int32(scene.atlas.data.shape[1])
+    if scene.atlas.data_planes is not None:
+        return scene.atlas.data_planes, w
+    return scene.atlas.data.reshape(-1, 3).T, w
 
 
 def _scene_prims(scene: Scene, features: SceneFeatures):
@@ -1350,7 +1368,7 @@ def trace_fast_device(
         alive=alive, lane=lane,
     )
     prims = _scene_prims(scene, features)
-    atlas = scene.atlas.data if features.has_image else None
+    atlas = _atlas_planes(scene) if features.has_image else None
 
     def step(carry, depth):
         st, segs = carry
@@ -1650,7 +1668,7 @@ def trace_fast(
         R0 = ro.shape[0]
 
         prims = _scene_prims(scene, features)
-        atlas = scene.atlas.data if features.has_image else None
+        atlas = _atlas_planes(scene) if features.has_image else None
         n_tiles = (scene.spheres.center.shape[0] + 127) // 128
         cull_scene = (
             bvh is None

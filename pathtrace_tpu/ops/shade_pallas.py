@@ -105,9 +105,10 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
     img_rgb = None
     if f.has_image:
         # atlas texels pre-fetched by the XLA pre-pass (the one gather the
-        # kernel cannot do); selected per lane where tex_kind == IMAGE
-        img_rgb = [refs[base + k][...] for k in range(3)]
-        base += 3
+        # kernel cannot do) ride the LAST 3 attr-cube entries — adding
+        # them as separate operands instead measurably slowed the whole
+        # kernel (r5 earth probes; extra refs shift Mosaic's pipelining)
+        img_rgb = [a[n_attr - 3], a[n_attr - 2], a[n_attr - 1]]
     outs = refs[base:]
 
     seed = si[0, 0]
@@ -357,10 +358,19 @@ def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
     alive (f32 0/1).
     """
     R = t.shape[0]
-    n_attr = attrs3.shape[1]
-    assert attrs3.shape == (R // 128, n_attr, 128), attrs3.shape
     assert R % 128 == 0, "fused shading needs R % 128 == 0 (caller pads)"
     rows = R // 128
+
+    def plane(x):
+        return x.reshape(rows, 128)
+
+    if features.has_image:
+        # texels join the attr cube as 3 extra entries (see _shade_kernel)
+        assert img_planes is not None and len(img_planes) == 3
+        img_cube = jnp.stack([plane(p) for p in img_planes], axis=1)
+        attrs3 = jnp.concatenate([attrs3, img_cube], axis=1)
+    n_attr = attrs3.shape[1]
+    assert attrs3.shape == (rows, n_attr, 128), attrs3.shape
     # Mosaic block constraint: sublane dim divisible by 8, or whole-array.
     # Callers pad wavefronts to 1024-ray multiples (rows % 8 == 0) except
     # sub-1024 compaction rungs, whose whole-plane blocks are tiny anyway.
@@ -370,9 +380,6 @@ def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
         assert rows < 8, f"pad wavefronts to 1024-ray multiples (rows={rows})"
         bs = rows
     grid = (rows // bs,)
-
-    def plane(x):
-        return x.reshape(rows, 128)
 
     si = jnp.stack(
         [jnp.asarray(seed, jnp.int32), jnp.asarray(depth, jnp.int32)]
@@ -386,10 +393,6 @@ def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
     for name in _STATE_FIELDS:
         inputs.append(plane(state_planes[name]))
     n_extra = 0
-    if features.has_image:
-        assert img_planes is not None and len(img_planes) == 3
-        inputs.extend(plane(p) for p in img_planes)
-        n_extra = 3
 
     smem_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
     smem_spec4 = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM)

@@ -23,12 +23,26 @@ the circle of radius r·sqrt(1−r²/d²) centred at c − (r²/d)·ĝ in the pl
 tracing ray pairs straddling the edge; occluded contour segments cancel
 automatically (L_in ≈ L_out).
 
-Scope: primary visibility, zero-aperture cameras (the reference presets'
-defocus blur already smooths the edge for autodiff — tested in
-tests/test_silhouette.py::TestAperture); sphere contours, rect boundary
-edges, and box silhouette edges (the 12 transformed segments, masked by
-the front-face/back-face sign test). Indirect silhouettes
-(shadow/reflection edges) are not sampled.
+Scope: primary visibility (lens-integrated for aperture > 0 — each edge
+sample rides its own lens point); sphere contours — including MOVING
+spheres, whose edge samples draw per-sample shutter times so the vjp
+carries the ``center_delta`` component — rect boundary edges, and box
+silhouette edges (the 12 transformed segments, masked by the
+front-face/back-face sign test).
+
+Indirect silhouettes (shadow and reflection edges) are NOT sampled, by
+measured design: sampling them requires reprojecting each secondary
+vertex's view of every contour (an [R x contours] pairing per bounce —
+the general integrator's whole-frame cost again per edge family on this
+device). The resulting BIAS is bounded: for parameter θ it is at most
+  Σ_unsampled-families ∮ |L_in − L_out| · |n̂_⊥ · dP/dθ| dl,
+i.e. (edge length in the secondary domain) x (radiance jump) x (the
+projected parameter velocity) — zero wherever the occluder's shadow or
+reflection falls on a region the interior term already explains (smooth
+shading), and second-order in practice because secondary-domain jumps
+are attenuated by the BSDF throughput. The inverse-rendering tests
+recover geometry through the primary term alone
+(tests/test_silhouette.py position-recovery cases).
 """
 
 from __future__ import annotations

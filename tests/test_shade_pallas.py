@@ -100,20 +100,20 @@ class TestFusedParity:
             assert_states_close(s1, s2)
 
     def test_image_scene_kernel_matches_xla(self):
-        """The fused kernel's image-texture capability (img_planes from the
+        """The fused kernel's image-texture path (img_planes from the
         XLA UV + atlas-gather pre-pass): bit-level mirror of fast_bounce's
-        image branch. Not the default route for image scenes (see
-        fused_shade_supported's measured justification) — exercised
-        directly here so the capability stays green."""
+        image branch. Since r5 this IS the default route for sphere/rect
+        image scenes (the plane-form pre-pass + hoisted [3, N] atlas made
+        it the measured winner — tools/earth_probe.py)."""
         scene, cam = presets.from_name("earth", aspect=1.0)
         feats = SceneFeatures.from_scene(scene)
-        assert not fused_shade_supported(feats)  # routing stays XLA
+        assert fused_shade_supported(feats)  # image scenes go fused now
         tables, sky, gsky = fp.prep_tables(scene, feats)
         ro, rd, tm = camera_rays(cam, 1024)
         s1, s2 = make_states(ro, rd, tm)
         seed = jnp.int32(13)
         prims = fp._scene_prims(scene, feats)
-        atlas = scene.atlas.data
+        atlas = fp._atlas_planes(scene)
         for depth in range(3):
             s1 = fp.fast_bounce(tables, sky, gsky, s1, seed,
                                 jnp.int32(depth), 8, feats, scene=scene)
