@@ -295,14 +295,17 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None,
         t = jnp.full(ro.shape[:1], _INF, ro.dtype)
         idx = jnp.zeros(ro.shape[:1], jnp.int32)
     if f.has_rects:
-        t_r, i_r = isect.rect_nearest(scene.rects, ro, rd)
+        t_r, i_r = _rect_nearest_any(scene.rects, ro, rd)
         wins = t_r < t
         t = jnp.where(wins, t_r, t)
         idx = jnp.where(wins, offset + i_r, idx)
     parts.append(rect_table)
     offset += rect_table.shape[0]
     if f.has_boxes:
-        t_b, i_b = isect.box_nearest(scene.boxes, ro, rd)
+        t_b, i_b = isect.box_nearest_planes(
+            scene.boxes, ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2],
+        )
         wins = t_b < t
         t = jnp.where(wins, t_b, t)
         idx = jnp.where(wins, offset + i_b, idx)
@@ -310,7 +313,10 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None,
         parts.append(box_table)
         offset += box_table.shape[0]
     if f.has_media:
-        t_m, i_m = isect.media_nearest(scene.media, ro, rd, med_u)
+        t_m, i_m = isect.media_nearest_planes(
+            scene.media, ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2], med_u,
+        )
         wins = t_m < t
         t = jnp.where(wins, t_m, t)
         idx = jnp.where(wins, offset + i_m, idx)
@@ -319,6 +325,20 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None,
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     attrs = table[idx]                                   # ONE row gather
     return t, attrs
+
+
+def _rect_nearest_any(rects, ro, rd):
+    """Plane-form rect sweep for small sets (every preset), [R, N] form
+    otherwise — the same policy as the fused path (the [R, N<128] form
+    pays 128x lane padding per temp, PERF.md)."""
+    from pathtrace_tpu.ops import intersect as isect
+
+    if rects.count <= 16 and rects.world_from_obj is None:
+        return isect.rect_nearest_planes(
+            rects, ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2],
+        )
+    return isect.rect_nearest(rects, ro, rd)
 
 
 def nearest_t_only(scene, ro, rd, time, features, med_u=None,
@@ -353,13 +373,19 @@ def nearest_t_only(scene, ro, rd, time, features, med_u=None,
     else:
         t = jnp.full(ro.shape[:1], _INF, ro.dtype)
     if f.has_rects:
-        t_r, _ = isect.rect_nearest(scene.rects, ro, rd)
+        t_r, _ = _rect_nearest_any(scene.rects, ro, rd)
         t = jnp.minimum(t, t_r)
     if f.has_boxes:
-        t_b, _ = isect.box_nearest(scene.boxes, ro, rd)
+        t_b, _ = isect.box_nearest_planes(
+            scene.boxes, ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2],
+        )
         t = jnp.minimum(t, t_b)
     if f.has_media:
-        t_m, _ = isect.media_nearest(scene.media, ro, rd, med_u)
+        t_m, _ = isect.media_nearest_planes(
+            scene.media, ro[:, 0], ro[:, 1], ro[:, 2],
+            rd[:, 0], rd[:, 1], rd[:, 2], med_u,
+        )
         t = jnp.minimum(t, t_m)
     return t
 
@@ -496,6 +522,10 @@ class FastStateP(NamedTuple):
     thr_b: jnp.ndarray
     alive: jnp.ndarray       # [R] bool
     lane: jnp.ndarray        # [R] uint32
+    # MIS emit_scale plane (see FastState.emit_scale): None unless NEE is
+    # on; rides the attr cube into the kernel and compaction like any
+    # other plane
+    emit_scale: jnp.ndarray = None
 
 
 def fast_bounce(
@@ -936,7 +966,8 @@ def _fast_bounce_fused_prims(
     tables, sky, use_gradient_sky, state: FastStateP,
     seed, depth, max_depth: int, features: SceneFeatures, prims,
     cull: bool = False, bvh=None, bvh_offsets=None, atlas=None,
-    bvh_first: bool = True,
+    bvh_first: bool = True, nee_lights=None, rr_start: int = 0,
+    nee_scene=None,
 ):
     from pathtrace_tpu.ops import intersect as isect
     from pathtrace_tpu.ops.intersect_pallas import sphere_nearest_pallas_cols
@@ -944,6 +975,11 @@ def _fast_bounce_fused_prims(
 
     f = features
     spheres, rects, boxes, media = prims
+    shade_kw = dict(
+        nee_lights=nee_lights, rr_start=rr_start,
+        prim_scene=_PrimScene(spheres, rects, boxes, media),
+        nee_scene=nee_scene, bvh=bvh, bvh_offsets=bvh_offsets,
+    )
     sph_table, rect_table, box_table, media_table = tables
     if bvh is not None:
         # -B on the fused path: whole-scene BVH traversal replaces the
@@ -991,7 +1027,7 @@ def _fast_bounce_fused_prims(
         table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return _fused_shade_from_winners(
             table, idx, t, state, seed, depth, max_depth, features,
-            sky, use_gradient_sky, atlas=atlas,
+            sky, use_gradient_sky, atlas=atlas, **shade_kw,
         )
     if f.has_spheres:
         t, idx = sphere_nearest_pallas_cols(
@@ -1018,12 +1054,13 @@ def _fast_bounce_fused_prims(
         idx = jnp.where(wins, offset + i_r, idx)
     parts.append(rect_table)
     offset += rect_table.shape[0]
-    if f.has_boxes or f.has_media:
-        # box/media counts are tiny; their [R,N] sweeps stay in XLA
-        ro3 = jnp.stack([state.rox, state.roy, state.roz], axis=1)
-        rd3 = jnp.stack([state.rdx, state.rdy, state.rdz], axis=1)
     if f.has_boxes:
-        t_b, i_b = isect.box_nearest(boxes, ro3, rd3)
+        # small box sets (every preset) sweep as a static python loop on
+        # [R] planes — the [R, N<128] form pays 128x lane padding per temp
+        t_b, i_b = isect.box_nearest_planes(
+            boxes, state.rox, state.roy, state.roz,
+            state.rdx, state.rdy, state.rdz,
+        )
         wins = t_b < t
         t = jnp.where(wins, t_b, t)
         idx = jnp.where(wins, offset + i_b, idx)
@@ -1035,7 +1072,10 @@ def _fast_bounce_fused_prims(
             [counter_uniform(state.lane, seed, depth, 8 + j)
              for j in range(media.count)], axis=-1,
         )
-        t_m, i_m = isect.media_nearest(media, ro3, rd3, med_u)
+        t_m, i_m = isect.media_nearest_planes(
+            media, state.rox, state.roy, state.roz,
+            state.rdx, state.rdy, state.rdz, med_u,
+        )
         wins = t_m < t
         t = jnp.where(wins, t_m, t)
         idx = jnp.where(wins, offset + i_m, idx)
@@ -1044,7 +1084,7 @@ def _fast_bounce_fused_prims(
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return _fused_shade_from_winners(
         table, idx, t, state, seed, depth, max_depth, features,
-        sky, use_gradient_sky, atlas=atlas,
+        sky, use_gradient_sky, atlas=atlas, **shade_kw,
     )
 
 
@@ -1116,11 +1156,246 @@ def _image_rgb_planes(atlas, t, attrs3, state: FastStateP,
     return texel_t[0], texel_t[1], texel_t[2]
 
 
+def _normal_planes(t, attrs3, state: FastStateP, features: SceneFeatures):
+    """Winner surface normal as three [R] planes (mirrors the fused
+    kernel's normal computation — used by the NEE tail, which needs it
+    OUTSIDE the kernel)."""
+    f = features
+    R = t.shape[0]
+    col = lambda k: attrs3[:, k, :].reshape(R)
+    hit = t < _INF
+    ts = jnp.where(hit, t, 0.0)
+    px = state.rox + ts * state.rdx
+    py = state.roy + ts * state.rdy
+    pz = state.roz + ts * state.rdz
+    kind = col(COL_KIND)
+    cx, cy, cz = col(GEO), col(GEO + 1), col(GEO + 2)
+    if f.has_motion:
+        s = (state.time - col(GEO + 6)) * col(GEO + 7)
+        cx = cx + s * col(GEO + 3)
+        cy = cy + s * col(GEO + 4)
+        cz = cz + s * col(GEO + 5)
+    r_col = col(GEO + 8)
+    inv_r = 1.0 / jnp.where(jnp.abs(r_col) < 1e-12, 1.0, r_col)
+    nx = (px - cx) * inv_r
+    ny = (py - cy) * inv_r
+    nz = (pz - cz) * inv_r
+    if f.has_rects:
+        axis = col(GEO + 0)
+        flip = col(GEO + 6)
+        is_rect = kind == KIND_RECT
+        nx = jnp.where(is_rect, (axis == 0.0).astype(px.dtype) * flip, nx)
+        ny = jnp.where(is_rect, (axis == 1.0).astype(px.dtype) * flip, ny)
+        nz = jnp.where(is_rect, (axis == 2.0).astype(px.dtype) * flip, nz)
+    if f.has_boxes:
+        ofw = lambda r, c: col(GEO + 6 + r * 4 + c)
+        ro_o = [ofw(r, 0) * state.rox + ofw(r, 1) * state.roy
+                + ofw(r, 2) * state.roz + ofw(r, 3) for r in range(3)]
+        rd_o = [ofw(r, 0) * state.rdx + ofw(r, 1) * state.rdy
+                + ofw(r, 2) * state.rdz for r in range(3)]
+        rd_o = [jnp.where(jnp.abs(v) < 1e-12, 1e-12, v) for v in rd_o]
+        tn3, tf3 = [], []
+        for r in range(3):
+            rcp = 1.0 / rd_o[r]
+            d0 = (col(GEO + r) - ro_o[r]) * rcp
+            d1 = (col(GEO + 3 + r) - ro_o[r]) * rcp
+            tn3.append(jnp.minimum(d0, d1))
+            tf3.append(jnp.maximum(d0, d1))
+        t_enter = jnp.maximum(jnp.maximum(tn3[0], tn3[1]), tn3[2])
+        enter_axis = jnp.where(tn3[1] > tn3[0], 1, 0)
+        enter_axis = jnp.where(tn3[2] > jnp.maximum(tn3[0], tn3[1]), 2,
+                               enter_axis)
+        exit_axis = jnp.where(tf3[1] < tf3[0], 1, 0)
+        exit_axis = jnp.where(tf3[2] < jnp.minimum(tf3[0], tf3[1]), 2,
+                              exit_axis)
+        is_entry = jnp.abs(ts - t_enter) < 1e-4 * jnp.maximum(
+            jnp.abs(ts), 1.0)
+        face_axis = jnp.where(is_entry, enter_axis, exit_axis)
+        fa = [(face_axis == r).astype(px.dtype) for r in range(3)]
+        rd_sel = fa[0] * rd_o[0] + fa[1] * rd_o[1] + fa[2] * rd_o[2]
+        n_sign = jnp.where(is_entry, -jnp.sign(rd_sel), jnp.sign(rd_sel))
+        n_obj = [fa[r] * n_sign for r in range(3)]
+        wfo = lambda r, c: col(GEO + 18 + r * 3 + c)
+        is_box = kind == KIND_BOX
+        bn = [wfo(r, 0) * n_obj[0] + wfo(r, 1) * n_obj[1]
+              + wfo(r, 2) * n_obj[2] for r in range(3)]
+        nx = jnp.where(is_box, bn[0], nx)
+        ny = jnp.where(is_box, bn[1], ny)
+        nz = jnp.where(is_box, bn[2], nz)
+    if f.has_media:
+        is_med = kind == KIND_MEDIUM
+        nx = jnp.where(is_med, 1.0, nx)
+        ny = jnp.where(is_med, 0.0, ny)
+        nz = jnp.where(is_med, 0.0, nz)
+    return nx, ny, nz, (px, py, pz)
+
+
+def _albedo_planes(t, attrs3, point, features: SceneFeatures,
+                   img_planes=None):
+    """Winner albedo as three [R] planes (mirror of the fused kernel's
+    texture evaluation, for the NEE tail)."""
+    f = features
+    R = t.shape[0]
+    col = lambda k: attrs3[:, k, :].reshape(R)
+    px, py, pz = point
+    tex_kind = col(3)
+    rgb = [col(4), col(5), col(6)]
+    if f.has_checker:
+        sines = jnp.sin(10.0 * px) * jnp.sin(10.0 * py) * jnp.sin(10.0 * pz)
+        is_chk = tex_kind == float(TEX_CHECKER)
+        neg = sines < 0.0
+        for c in range(3):
+            rgb[c] = jnp.where(
+                is_chk, jnp.where(neg, col(7 + c), col(10 + c)), rgb[c]
+            )
+    if f.has_noise:
+        marble = 0.5 * (1.0 + jnp.sin(col(13) * pz
+                                      + 10.0 * fast_turb_c(px, py, pz)))
+        is_noise = tex_kind == float(TEX_NOISE)
+        for c in range(3):
+            rgb[c] = jnp.where(is_noise, marble, rgb[c])
+    if f.has_image:
+        is_img = tex_kind == 3.0
+        for c in range(3):
+            rgb[c] = jnp.where(is_img, img_planes[c], rgb[c])
+    return rgb
+
+
+def _fused_nee_tail(t, attrs3, state_in: FastStateP, out: FastStateP,
+                    seed, depth, features, prim_scene, nee_scene,
+                    nee_lights, img_planes=None, bvh=None, bvh_offsets=None):
+    """Plane-form NEE with MIS around the fused kernel — the same
+    estimator as :func:`fast_bounce`'s (same RNG draw indices 4-6 and
+    8+n_media shadow media), evaluated on [R] planes with only the light
+    sampler and the shadow intersect touching [R, 3] forms. The kernel
+    already scaled this bounce's emission by ``state_in.emit_scale`` (the
+    cube's last entry); this tail adds the light-sample contribution and
+    computes the next vertex's emit_scale."""
+    from pathtrace_tpu.ops import lights as plights
+    from pathtrace_tpu.ops.texture import texture_value
+
+    f = features
+    R = t.shape[0]
+    col = lambda k: attrs3[:, k, :].reshape(R)
+    mat_kind = col(0)
+    is_lam = mat_kind == float(MAT_LAMBERTIAN)
+    is_iso = mat_kind == float(MAT_ISOTROPIC)
+    can = out.alive
+    nee_mask = can & (is_lam | is_iso)
+
+    nx, ny, nz, point = _normal_planes(t, attrs3, state_in, f)
+    px, py, pz = point
+    lu0 = counter_uniform(state_in.lane, seed, depth, 4)
+    lu1 = counter_uniform(state_in.lane, seed, depth, 5)
+    lu2 = counter_uniform(state_in.lane, seed, depth, 6)
+    zero = jnp.zeros_like(px)
+    spx = jnp.where(nee_mask, px, zero)
+    spy = jnp.where(nee_mask, py, zero)
+    spz = jnp.where(nee_mask, pz, zero)
+    wix, wiy, wiz, ldist, lpdf, lidx, lvalid = \
+        plights.sample_light_dirs_planes(nee_lights, spx, spy, spz,
+                                         lu0, lu1, lu2)
+    nee_mask = nee_mask & lvalid
+
+    smed_u = None
+    if f.has_media:
+        n_media = prim_scene.media.count
+        smed_u = jnp.stack(
+            [counter_uniform(state_in.lane, seed, depth, 8 + n_media + j)
+             for j in range(n_media)], axis=-1,
+        )
+    safe_p = jnp.stack([spx, spy, spz], axis=-1)
+    wi3 = jnp.stack([wix, wiy, wiz], axis=-1)
+    s_t = nearest_t_only(
+        prim_scene, safe_p, wi3, state_in.time, f, med_u=smed_u,
+        bvh=bvh, bvh_offsets=bvh_offsets,
+    )
+    unoccluded = jnp.logical_not((s_t < _INF) & (s_t < ldist * (1.0 - 1e-3)))
+
+    if nee_lights.color is not None:
+        # every light texture is a constant: one tiny [L,3] gather per
+        # channel (texture_value here would re-pay gather Perlin / atlas
+        # machinery the light never uses — the r5 simple_light bomb)
+        le = [nee_lights.color[:, c][lidx] for c in range(3)]
+    else:
+        light_p = safe_p + wi3 * ldist[:, None]
+        le3 = texture_value(
+            nee_scene, nee_lights.tex_id[lidx],
+            jnp.full_like(ldist, 0.5), jnp.full_like(ldist, 0.5), light_p,
+            features=f,
+        )
+        le = [le3[:, c] for c in range(3)]
+    snx = jnp.where(nee_mask, nx, zero)
+    sny = jnp.where(nee_mask, ny, zero)
+    snz = jnp.where(nee_mask, nz, zero)
+    cos_s = jnp.maximum(wix * snx + wiy * sny + wiz * snz, 0.0)
+    inv_pi = 1.0 / 3.14159265358979
+    albedo = _albedo_planes(t, attrs3, point, f, img_planes=img_planes)
+    pdf_f = jnp.where(is_lam, cos_s * inv_pi, 0.25 * inv_pi)
+    p_b_nee = pdf_f
+    w_light = lpdf * lpdf / jnp.maximum(lpdf * lpdf + p_b_nee * p_b_nee,
+                                        1e-20)
+    scale = jnp.where(
+        (nee_mask & unoccluded),
+        pdf_f * w_light / jnp.maximum(lpdf, 1e-12), 0.0,
+    )
+    thr = (state_in.thr_r, state_in.thr_g, state_in.thr_b)
+    rad = [out.rad_r, out.rad_g, out.rad_b]
+    for c in range(3):
+        rad[c] = rad[c] + thr[c] * albedo[c] * le[c] * scale
+
+    # BSDF side of the split: the kernel's scattered direction lives in
+    # the output rd planes
+    cos_b = jnp.maximum(
+        out.rdx * snx + out.rdy * sny + out.rdz * snz, 0.0
+    )
+    p_b_next = jnp.where(is_lam, cos_b * inv_pi, 0.25 * inv_pi)
+    p_l_next = plights.light_dir_pdf_planes(
+        nee_lights, spx, spy, spz, out.rdx, out.rdy, out.rdz
+    )
+    w_bsdf = p_b_next * p_b_next / jnp.maximum(
+        p_b_next * p_b_next + p_l_next * p_l_next, 1e-20
+    )
+    emit_scale_next = jnp.where(
+        nee_mask & (p_l_next > 0.0), w_bsdf, jnp.ones_like(px)
+    )
+    shadow_ct = jnp.sum(nee_mask, dtype=jnp.int32)
+    return out._replace(
+        rad_r=rad[0], rad_g=rad[1], rad_b=rad[2],
+        emit_scale=emit_scale_next,
+    ), shadow_ct
+
+
+def _fused_rr_tail(out: FastStateP, seed, depth, rr_start: int):
+    """Plane-form Russian roulette after the fused kernel (same rule and
+    draw index 7 as :func:`fast_bounce`'s)."""
+    thr = (out.thr_r, out.thr_g, out.thr_b)
+    p_rr = jnp.clip(
+        jnp.maximum(jnp.maximum(thr[0], thr[1]), thr[2]), 0.05, 1.0
+    )
+    rr_u = counter_uniform(out.lane, seed, depth, 7)
+    roll = out.alive & (depth >= rr_start)
+    survive = jnp.logical_not(roll) | (rr_u < p_rr)
+    boost = jnp.where(roll & survive, 1.0 / p_rr, 1.0)
+    return out._replace(
+        thr_r=thr[0] * boost, thr_g=thr[1] * boost, thr_b=thr[2] * boost,
+        alive=out.alive & survive,
+    )
+
+
 def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
-                              features, sky, use_gradient_sky, atlas=None):
+                              features, sky, use_gradient_sky, atlas=None,
+                              nee_lights=None, rr_start: int = 0,
+                              prim_scene=None, nee_scene=None,
+                              bvh=None, bvh_offsets=None):
     """Shared tail of the fused bounce: ONE winner row gather + the fused
     Pallas shading kernel (brute and BVH intersect providers both land
-    here, so their shading is the same program byte-for-byte)."""
+    here, so their shading is the same program byte-for-byte).
+
+    ``nee_lights`` adds the plane-form NEE tail (:func:`_fused_nee_tail` —
+    emission scaling happens IN the kernel via the emit_scale cube entry)
+    and changes the return to ``(state, shadow_ray_count)``; ``rr_start``
+    adds the roulette tail."""
     from pathtrace_tpu.ops.shade_pallas import shade_bounce_planes
 
     attrs = table[idx]                                   # ONE row gather
@@ -1153,21 +1428,33 @@ def _fused_shade_from_winners(table, idx, t, state, seed, depth, max_depth,
     outs = shade_bounce_planes(
         t, attrs3, state_planes, seed, depth, sky, use_gradient_sky,
         features, max_depth, img_planes=img_planes,
+        emit_scale=state.emit_scale if nee_lights is not None else None,
     )
-    return state._replace(
+    out = state._replace(
         rox=outs[0], roy=outs[1], roz=outs[2],
         rdx=outs[3], rdy=outs[4], rdz=outs[5],
         rad_r=outs[6], rad_g=outs[7], rad_b=outs[8],
         thr_r=outs[9], thr_g=outs[10], thr_b=outs[11],
         alive=outs[12] > 0.5,
     )
+    shadow_ct = None
+    if nee_lights is not None:
+        out, shadow_ct = _fused_nee_tail(
+            t, attrs3, state, out, seed, depth, features, prim_scene,
+            nee_scene, nee_lights, img_planes=img_planes,
+            bvh=bvh, bvh_offsets=bvh_offsets,
+        )
+    if rr_start > 0:
+        out = _fused_rr_tail(out, seed, depth, rr_start)
+    return (out, shadow_ct) if nee_lights is not None else out
 
 
 def _bounce_group_fused(tables, sky, grad_sky, state, seed,
                         depth0, max_depth, features, prims,
                         group: int = 1, cull_first: bool = False,
                         bvh=None, bvh_offsets=None, atlas=None,
-                        bvh_first: bool = True):
+                        bvh_first: bool = True, nee_lights=None,
+                        rr_start: int = 0, nee_scene=None):
     """``prims``: (spheres, rects, boxes, media) with absent kinds None —
     the bounce needs no other scene leaves (shading data is in the
     prebuilt tables), and keeping unused pytrees out of the signature
@@ -1184,18 +1471,24 @@ def _bounce_group_fused(tables, sky, grad_sky, state, seed,
     segs = jnp.int32(0)
     for g in range(group):
         segs = segs + jnp.sum(state.alive, dtype=jnp.int32)
-        state = _fast_bounce_fused_prims(
+        res = _fast_bounce_fused_prims(
             tables, sky, grad_sky, state, seed, depth0 + g,
             max_depth, features, prims,
             cull=(cull_first and (g == 0 or CULL_ALL_DEPTHS)),
             bvh=bvh, bvh_offsets=bvh_offsets, atlas=atlas,
             bvh_first=(bvh_first and g == 0),
+            nee_lights=nee_lights, rr_start=rr_start, nee_scene=nee_scene,
         )
+        if nee_lights is not None:
+            state, shadow_ct = res
+            segs = segs + shadow_ct
+        else:
+            state = res
     return state, segs
 
 
 _STATICS = ("max_depth", "features", "group", "cull_first", "bvh_offsets",
-            "bvh_first")
+            "bvh_first", "rr_start")
 # Two compilations of the same bounce group: the depth-0 dispatch must NOT
 # donate (its state planes wrap the CALLER's ro/rd/time arrays, which the
 # caller may reuse — e.g. rendering the same rays twice); every later
@@ -1652,15 +1945,13 @@ def trace_fast(
     tables, sky, grad_sky = prep_tables(scene, features)
     seed_arr = jnp.asarray(seed, jnp.int32)
 
-    # NEE and Russian roulette live on the XLA shading flavor (the fused
-    # kernel owns emission/scatter internally; the estimator math, the
-    # shadow-ray dispatch and the roulette all need the winner data the
-    # XLA flavor already has in [R]-plane land). --nee/--rr therefore
-    # keep the full fast-path machinery — Pallas closest hit, one row
-    # gather, the compaction ladder — and trade only the fused-shading
-    # delta, instead of forfeiting the whole fast path (the r4 gap).
-    if (fused_shade_supported(features) and nee_lights is None
-            and rr_start == 0):
+    # NEE and RR ride the FUSED flavor too (r5): emission scaling happens
+    # in the kernel via the emit_scale attr-cube entry, and the estimator
+    # itself is a plane-form tail (_fused_nee_tail) around it — --nee/
+    # --rr keep the whole fast path including the fused shading kernel.
+    # Image-on-boxes/media scenes take the XLA shading flavor below,
+    # whose fast_bounce implements the same estimator.
+    if fused_shade_supported(features):
         # fused path: plane-form state + Pallas shading (sphere/rect scenes);
         # pad to 1024-ray multiples so plane blocks satisfy the Mosaic
         # sublane-divisibility constraint (compaction rungs below 1024 are
@@ -1676,6 +1967,8 @@ def trace_fast(
             and n_tiles >= CULL_MIN_TILES
         )
 
+        nee_scene = scene if nee_lights is not None else None
+
         def step(state, depth, g):
             # depth-0 state wraps caller arrays: no donation there
             fn = (_bounce_group_fused_first if depth == 0
@@ -1686,6 +1979,8 @@ def trace_fast(
                 cull_first=cull_scene and (depth == 0 or CULL_ALL_DEPTHS),
                 bvh=bvh, bvh_offsets=bvh_offsets, atlas=atlas,
                 bvh_first=(depth == 0),
+                nee_lights=nee_lights, rr_start=rr_start,
+                nee_scene=nee_scene,
             )
 
         def make_state(lo, hi, rp=None):
@@ -1723,6 +2018,8 @@ def trace_fast(
                 alive=jnp.arange(rp) < n,
                 lane=jnp.arange(lane_offset + lo, lane_offset + lo + rp,
                                 dtype=jnp.uint32),
+                emit_scale=(jnp.ones(rp, ro.dtype)
+                            if nee_lights is not None else None),
             )
 
         if compaction and R0 > INTERLEAVE_CHUNK:

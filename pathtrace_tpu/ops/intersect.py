@@ -460,6 +460,103 @@ def box_nearest(boxes: Boxes, ro, rd, t_min=MIN_T, t_max=MAX_T):
     return t, idx.astype(jnp.int32)
 
 
+def box_nearest_planes(boxes: Boxes, rox, roy, roz, rdx, rdy, rdz,
+                       t_min=MIN_T, t_max=MAX_T):
+    """Small-N twin of :func:`box_nearest`: static python loop over boxes,
+    all math on [R] planes with per-box scalar affines.
+
+    The [R, N] form materializes [R, N, 3] object-space rays and ~8
+    [R, N<128] temps whose minor dims pad to 128 lanes at every fusion
+    boundary (PERF.md trap) — at N=2 (cornell) that is a 64x write
+    amplification per temp, measured as the dominant cost of the fast
+    path's XLA shading flavor under NEE (tools/nee_bench.py r5). Same
+    winners: ascending-j running min == first-minimum argmin."""
+    R = rox.shape[0]
+    INF = jnp.float32(_INF)
+    tbest = jnp.full((R,), _INF, rox.dtype)
+    ibest = jnp.zeros((R,), jnp.int32)
+    for j in range(boxes.count):
+        ofw = boxes.obj_from_world[j]                  # [3, 4] scalars
+        ro_o = [ofw[r, 0] * rox + ofw[r, 1] * roy + ofw[r, 2] * roz
+                + ofw[r, 3] for r in range(3)]
+        rd_o = [ofw[r, 0] * rdx + ofw[r, 1] * rdy + ofw[r, 2] * rdz
+                for r in range(3)]
+        tn = tf = None
+        for r in range(3):
+            d = jnp.where(jnp.abs(rd_o[r]) < 1e-12, 1e-12, rd_o[r])
+            rcp = 1.0 / d
+            d0 = (boxes.p0[j, r] - ro_o[r]) * rcp
+            d1 = (boxes.p1[j, r] - ro_o[r]) * rcp
+            lo = jnp.minimum(d0, d1)
+            hi = jnp.maximum(d0, d1)
+            tn = lo if tn is None else jnp.maximum(tn, lo)
+            tf = hi if tf is None else jnp.minimum(tf, hi)
+        crosses = (tf > tn) & boxes.mask[j]
+        enter_ok = crosses & (tn > t_min) & (tn < t_max)
+        exit_ok = crosses & (tn <= t_min) & (tf > t_min) & (tf < t_max)
+        cand = jnp.where(enter_ok, tn, jnp.where(exit_ok, tf, INF))
+        better = cand < tbest
+        tbest = jnp.where(better, cand, tbest)
+        ibest = jnp.where(better, j, ibest)
+    return tbest, ibest
+
+
+def media_nearest_planes(media: Media, rox, roy, roz, rdx, rdy, rdz,
+                         uniforms, t_min=MIN_T, t_max=MAX_T):
+    """Small-N twin of :func:`media_nearest` on [R] planes (see
+    :func:`box_nearest_planes` for why). ``uniforms``: [R, N]."""
+    R = rox.shape[0]
+    INF = jnp.float32(_INF)
+    tbest = jnp.full((R,), _INF, rox.dtype)
+    ibest = jnp.zeros((R,), jnp.int32)
+    for j in range(media.count):
+        ofw = media.obj_from_world[j]
+        ro_o = [ofw[r, 0] * rox + ofw[r, 1] * roy + ofw[r, 2] * roz
+                + ofw[r, 3] for r in range(3)]
+        rd_o = [ofw[r, 0] * rdx + ofw[r, 1] * rdy + ofw[r, 2] * rdz
+                for r in range(3)]
+        tn = tf = None
+        for r in range(3):
+            d = jnp.where(jnp.abs(rd_o[r]) < 1e-12, 1e-12, rd_o[r])
+            rcp = 1.0 / d
+            d0 = (media.p0[j, r] - ro_o[r]) * rcp
+            d1 = (media.p1[j, r] - ro_o[r]) * rcp
+            lo = jnp.minimum(d0, d1)
+            hi = jnp.maximum(d0, d1)
+            tn = lo if tn is None else jnp.maximum(tn, lo)
+            tf = hi if tf is None else jnp.minimum(tf, hi)
+        box_crosses = tf > tn
+
+        # sphere boundary (centers stored in p0); |d| == 1 wavefront-wide
+        ocx = rox - media.p0[j, 0]
+        ocy = roy - media.p0[j, 1]
+        ocz = roz - media.p0[j, 2]
+        a = rdx * rdx + rdy * rdy + rdz * rdz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = (ocx * ocx + ocy * ocy + ocz * ocz
+             - media.radius[j] * media.radius[j])
+        disc = b * b - a * c
+        sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+        t_enter_s = (-b - sq) / a
+        t_exit_s = (-b + sq) / a
+
+        is_sphere = media.kind[j] == MEDIUM_SPHERE
+        t1 = jnp.where(is_sphere, t_enter_s, tn)
+        t2 = jnp.where(is_sphere, t_exit_s, tf)
+        crosses = jnp.where(is_sphere, disc > 0.0, box_crosses) & media.mask[j]
+        t1 = jnp.maximum(t1, t_min)
+        t2 = jnp.minimum(t2, t_max)
+        ok = crosses & (t1 < t2)
+        t1 = jnp.maximum(t1, 0.0)
+        hit_dist = -jnp.log(jnp.maximum(uniforms[:, j], 1e-38)) / media.density[j]
+        inside = hit_dist < (t2 - t1)
+        cand = jnp.where(ok & inside, t1 + hit_dist, INF)
+        better = cand < tbest
+        tbest = jnp.where(better, cand, tbest)
+        ibest = jnp.where(better, j, ibest)
+    return tbest, ibest
+
+
 def box_record(boxes: Boxes, t, idx, ro, rd) -> HitRecord:
     hit = t < _INF
     t_safe = jnp.where(hit, t, 0.0)

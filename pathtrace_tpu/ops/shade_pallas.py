@@ -89,7 +89,8 @@ def fused_shade_supported(features: SceneFeatures) -> bool:
     return True
 
 
-def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
+def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int,
+                  nee: bool = False):
     si = refs[0]           # SMEM (1,2) i32: seed, depth
     sf = refs[1]           # SMEM (1,4) f32: sky r/g/b, use_gradient_sky
     t = refs[2][...]
@@ -103,12 +104,22 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
      alive_f, lane_i) = [refs[base + k][...] for k in range(len(_STATE_FIELDS))]
     base += len(_STATE_FIELDS)
     img_rgb = None
+    esc = None
+    pos = n_attr
+    if nee:
+        # MIS emit_scale (the BSDF strategy's share of this vertex's
+        # emission when the previous vertex ran NEE) rides the last cube
+        # entry; the NEE estimator itself is a plane-form tail outside
+        # the kernel (fastpath._fused_nee_tail)
+        esc = a[pos - 1]
+        pos -= 1
     if f.has_image:
         # atlas texels pre-fetched by the XLA pre-pass (the one gather the
-        # kernel cannot do) ride the LAST 3 attr-cube entries — adding
+        # kernel cannot do) ride trailing attr-cube entries — adding
         # them as separate operands instead measurably slowed the whole
         # kernel (r5 earth probes; extra refs shift Mosaic's pipelining)
-        img_rgb = [a[n_attr - 3], a[n_attr - 2], a[n_attr - 1]]
+        img_rgb = [a[pos - 3], a[pos - 2], a[pos - 1]]
+        pos -= 3
     outs = refs[base:]
 
     seed = si[0, 0]
@@ -235,7 +246,10 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
     ):
         grad_c = (1.0 - sky_t) + sky_t * sky_consts[c]
         sky_c = jnp.where(use_grad > 0.5, grad_c, sf[0, c])
-        emit_c = jnp.where(hit, jnp.where(is_light, rgb_c, 0.0), sky_c)
+        prim_c = jnp.where(is_light, rgb_c, 0.0)
+        if nee:
+            prim_c = prim_c * esc
+        emit_c = jnp.where(hit, prim_c, sky_c)
         rads.append(rad_c + thr_c * emit_c * alive_f)
     rad_r, rad_g, rad_b = rads
 
@@ -343,7 +357,7 @@ def _shade_kernel(*refs, f: SceneFeatures, max_depth: int, n_attr: int):
 
 def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
                         sky, use_gradient_sky, features: SceneFeatures,
-                        max_depth: int, img_planes=None):
+                        max_depth: int, img_planes=None, emit_scale=None):
     """Run the fused shade/scatter kernel on one wavefront.
 
     ``t``: [R] hit distances. ``attrs3``: (R//128, K, 128) winner-attribute
@@ -369,6 +383,10 @@ def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
         assert img_planes is not None and len(img_planes) == 3
         img_cube = jnp.stack([plane(p) for p in img_planes], axis=1)
         attrs3 = jnp.concatenate([attrs3, img_cube], axis=1)
+    nee = emit_scale is not None
+    if nee:
+        attrs3 = jnp.concatenate([attrs3, plane(emit_scale)[:, None, :]],
+                                 axis=1)
     n_attr = attrs3.shape[1]
     assert attrs3.shape == (rows, n_attr, 128), attrs3.shape
     # Mosaic block constraint: sublane dim divisible by 8, or whole-array.
@@ -405,7 +423,7 @@ def shade_bounce_planes(t, attrs3, state_planes, seed, depth,
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32)] * 13
 
     kernel = functools.partial(_shade_kernel, f=features, max_depth=max_depth,
-                               n_attr=n_attr)
+                               n_attr=n_attr, nee=nee)
     outs = pl.pallas_call(
         kernel,
         grid=grid,

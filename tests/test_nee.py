@@ -363,3 +363,70 @@ class TestFastPathEstimator:
         np.testing.assert_allclose(np.asarray(img), np.asarray(img2),
                                    atol=5e-3)
         assert int(rays) > 0
+
+
+class TestPlaneLights:
+    """The plane-form light sampler/pdf twins must match the array forms."""
+
+    def _tables(self):
+        out = []
+        for preset in ("cornell", "simple_light"):
+            scene, _ = presets.from_name(preset, aspect=1.0)
+            out.append(build_light_table(scene))
+        return out
+
+    def test_sampler_matches_array_form(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(12)
+        n = 4096
+        pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        pts[:, 1] = rng.uniform(0.3, 4.0, n)
+        u = rng.random((n, 3)).astype(np.float32)
+        for lt in self._tables():
+            wi, dist, pdf, idx, valid = sample_light_dirs(
+                lt, jnp.asarray(pts), jnp.asarray(u))
+            px, py, pz = (jnp.asarray(pts[:, c]) for c in range(3))
+            wix, wiy, wiz, dist_p, pdf_p, idx_p, valid_p = \
+                __import__("pathtrace_tpu.ops.lights", fromlist=["x"]) \
+                .sample_light_dirs_planes(
+                    lt, px, py, pz, jnp.asarray(u[:, 0]),
+                    jnp.asarray(u[:, 1]), jnp.asarray(u[:, 2]))
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_p))
+            np.testing.assert_array_equal(np.asarray(valid),
+                                          np.asarray(valid_p))
+            v = np.asarray(valid)
+            np.testing.assert_allclose(np.asarray(wi)[v, 0],
+                                       np.asarray(wix)[v], atol=2e-6)
+            np.testing.assert_allclose(np.asarray(dist)[v],
+                                       np.asarray(dist_p)[v], rtol=1e-5,
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(pdf)[v],
+                                       np.asarray(pdf_p)[v], rtol=1e-5)
+
+    def test_pdf_matches_array_form(self):
+        import jax.numpy as jnp
+
+        from pathtrace_tpu.ops.lights import (
+            light_dir_pdf,
+            light_dir_pdf_planes,
+        )
+
+        rng = np.random.default_rng(13)
+        n = 4096
+        pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        pts[:, 1] = rng.uniform(0.3, 4.0, n)
+        wd = rng.normal(size=(n, 3)).astype(np.float32)
+        wd /= np.linalg.norm(wd, axis=1, keepdims=True)
+        for lt in self._tables():
+            a = np.asarray(light_dir_pdf(lt, jnp.asarray(pts),
+                                         jnp.asarray(wd)))
+            b = np.asarray(light_dir_pdf_planes(
+                lt, *(jnp.asarray(pts[:, c]) for c in range(3)),
+                *(jnp.asarray(wd[:, c]) for c in range(3))))
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    def test_preset_lights_have_resolved_colors(self):
+        for lt in self._tables():
+            assert lt.color is not None
+            assert np.asarray(lt.color).min() > 0.0
