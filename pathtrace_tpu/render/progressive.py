@@ -141,10 +141,10 @@ def render_progressive(
 
     nee_lights = None
     if nee:
-        # NEE rides the fast path (its XLA shading flavor: same Pallas
-        # closest hit + compaction ladder + one shadow intersection per
-        # diffuse bounce) or the general integrator; lightless scenes fall
-        # through with nee_lights=None, the identical default estimator
+        # NEE rides the fast path (fused kernel + plane-form estimator
+        # tail, or the XLA shading flavor for image-on-boxes/media) or
+        # the general integrator; lightless scenes fall through with
+        # nee_lights=None, the identical default estimator
         from pathtrace_tpu.ops.lights import build_light_table
 
         nee_lights = build_light_table(scene)
