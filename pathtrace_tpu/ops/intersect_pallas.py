@@ -441,6 +441,11 @@ def sphere_nearest_pallas_cols(spheres: Spheres, rox, roy, roz, rdx, rdy, rdz,
     enough tiles to amortize a coarse level, flat otherwise."""
     if cull is True:
         n_tiles = (spheres.center.shape[0] + TILE_N - 1) // TILE_N
+        if n_tiles > 1024:
+            # r5 sweep at 262k spheres (2048 tiles): s32 2.45 / s16 2.36 /
+            # s64 2.23 Mrays/s vs flat 1.35; at 65k (512 tiles) s16 wins
+            # (4.54 vs s32 3.1). Bigger scenes amortize a coarser level.
+            s_tiles = max(s_tiles, 32)
         cull = "hier" if n_tiles >= 2 * s_tiles else "flat"
     return _sphere_nearest_call(
         spheres, [rox, roy, roz, rdx, rdy, rdz], time,
