@@ -302,10 +302,13 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None,
     parts.append(rect_table)
     offset += rect_table.shape[0]
     if f.has_boxes:
-        t_b, i_b = isect.box_nearest_planes(
-            scene.boxes, ro[:, 0], ro[:, 1], ro[:, 2],
-            rd[:, 0], rd[:, 1], rd[:, 2],
-        )
+        if scene.boxes.count <= PLANES_MAX_N:
+            t_b, i_b = isect.box_nearest_planes(
+                scene.boxes, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2],
+            )
+        else:
+            t_b, i_b = isect.box_nearest(scene.boxes, ro, rd)
         wins = t_b < t
         t = jnp.where(wins, t_b, t)
         idx = jnp.where(wins, offset + i_b, idx)
@@ -313,10 +316,13 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None,
         parts.append(box_table)
         offset += box_table.shape[0]
     if f.has_media:
-        t_m, i_m = isect.media_nearest_planes(
-            scene.media, ro[:, 0], ro[:, 1], ro[:, 2],
-            rd[:, 0], rd[:, 1], rd[:, 2], med_u,
-        )
+        if scene.media.count <= PLANES_MAX_N:
+            t_m, i_m = isect.media_nearest_planes(
+                scene.media, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], med_u,
+            )
+        else:
+            t_m, i_m = isect.media_nearest(scene.media, ro, rd, med_u)
         wins = t_m < t
         t = jnp.where(wins, t_m, t)
         idx = jnp.where(wins, offset + i_m, idx)
@@ -325,6 +331,12 @@ def nearest_hit_attrs(tables, ro, rd, time, features, scene, med_u=None,
     table = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     attrs = table[idx]                                   # ONE row gather
     return t, attrs
+
+
+# Static-python-loop sweeps unroll one iteration per primitive: a huge win
+# for preset-scale sets (no [R, N<128] lane-padded temps) but an HLO/compile
+# explosion past a few dozen (400 boxes -> 48 GB XLA:CPU compile, r5).
+PLANES_MAX_N = 16
 
 
 def _rect_nearest_any(rects, ro, rd):
@@ -376,16 +388,22 @@ def nearest_t_only(scene, ro, rd, time, features, med_u=None,
         t_r, _ = _rect_nearest_any(scene.rects, ro, rd)
         t = jnp.minimum(t, t_r)
     if f.has_boxes:
-        t_b, _ = isect.box_nearest_planes(
-            scene.boxes, ro[:, 0], ro[:, 1], ro[:, 2],
-            rd[:, 0], rd[:, 1], rd[:, 2],
-        )
+        if scene.boxes.count <= PLANES_MAX_N:
+            t_b, _ = isect.box_nearest_planes(
+                scene.boxes, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2],
+            )
+        else:
+            t_b, _ = isect.box_nearest(scene.boxes, ro, rd)
         t = jnp.minimum(t, t_b)
     if f.has_media:
-        t_m, _ = isect.media_nearest_planes(
-            scene.media, ro[:, 0], ro[:, 1], ro[:, 2],
-            rd[:, 0], rd[:, 1], rd[:, 2], med_u,
-        )
+        if scene.media.count <= PLANES_MAX_N:
+            t_m, _ = isect.media_nearest_planes(
+                scene.media, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], med_u,
+            )
+        else:
+            t_m, _ = isect.media_nearest(scene.media, ro, rd, med_u)
         t = jnp.minimum(t, t_m)
     return t
 
@@ -1054,13 +1072,22 @@ def _fast_bounce_fused_prims(
         idx = jnp.where(wins, offset + i_r, idx)
     parts.append(rect_table)
     offset += rect_table.shape[0]
+    if f.has_boxes or (f.has_media and media.count > PLANES_MAX_N):
+        ro3 = jnp.stack([state.rox, state.roy, state.roz], axis=1)
+        rd3 = jnp.stack([state.rdx, state.rdy, state.rdz], axis=1)
     if f.has_boxes:
-        # small box sets (every preset) sweep as a static python loop on
-        # [R] planes — the [R, N<128] form pays 128x lane padding per temp
-        t_b, i_b = isect.box_nearest_planes(
-            boxes, state.rox, state.roy, state.roz,
-            state.rdx, state.rdy, state.rdz,
-        )
+        # small box sets (cornell) sweep as a static python loop on [R]
+        # planes — the [R, N<128] form pays 128x lane padding per temp.
+        # Big sets (final_full's 400-box ground field) keep the [R, N]
+        # form: a 400-iteration unrolled loop exploded XLA:CPU compile
+        # to 48 GB RSS (r5 suite hang).
+        if boxes.count <= PLANES_MAX_N:
+            t_b, i_b = isect.box_nearest_planes(
+                boxes, state.rox, state.roy, state.roz,
+                state.rdx, state.rdy, state.rdz,
+            )
+        else:
+            t_b, i_b = isect.box_nearest(boxes, ro3, rd3)
         wins = t_b < t
         t = jnp.where(wins, t_b, t)
         idx = jnp.where(wins, offset + i_b, idx)
@@ -1072,10 +1099,13 @@ def _fast_bounce_fused_prims(
             [counter_uniform(state.lane, seed, depth, 8 + j)
              for j in range(media.count)], axis=-1,
         )
-        t_m, i_m = isect.media_nearest_planes(
-            media, state.rox, state.roy, state.roz,
-            state.rdx, state.rdy, state.rdz, med_u,
-        )
+        if media.count <= PLANES_MAX_N:
+            t_m, i_m = isect.media_nearest_planes(
+                media, state.rox, state.roy, state.roz,
+                state.rdx, state.rdy, state.rdz, med_u,
+            )
+        else:
+            t_m, i_m = isect.media_nearest(media, ro3, rd3, med_u)
         wins = t_m < t
         t = jnp.where(wins, t_m, t)
         idx = jnp.where(wins, offset + i_m, idx)

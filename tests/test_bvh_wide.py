@@ -195,16 +195,14 @@ class TestFastPathBVH:
         assert (np.asarray(out_x.alive) == np.asarray(out_f.alive)).mean() \
             >= 0.999
 
-    def test_image_scene_bvh_on_xla_branch(self):
-        """-B on an image-texture scene: fastpath supports it but fused
-        shading doesn't, so trace_fast routes the BVH through the
-        XLA-shading branch (nearest_hit_attrs with bvh) — must match the
-        brute fast path statistically end-to-end."""
+    def test_image_scene_bvh_end_to_end(self):
+        """-B on an image-texture scene (fused shading since r5): the BVH
+        provider must match the brute fast path statistically end-to-end."""
         scene, cam = presets.from_name("earth", aspect=2.0, seed=0)
         feats = SceneFeatures.from_scene(scene)
         from pathtrace_tpu.ops.shade_pallas import fused_shade_supported
 
-        assert not fused_shade_supported(feats)
+        assert fused_shade_supported(feats)  # image scenes go fused (r5)
         flat, _, offsets = pbvh.build_scene_bvh(scene, seed=0)
         key = jax.random.PRNGKey(8)
         img_b, rays_b = fp.render_frame_fast(
