@@ -554,7 +554,13 @@ def silhouette_grads_all(scene, camera, width, height, grad_img, key,
     features = features or SceneFeatures.all_on()
     scene = jax.tree_util.tree_map(jnp.asarray, scene)
     out = {}
-    if features.has_spheres:
+    if features.has_spheres and scene.spheres.world_from_obj is not None:
+        # generic-instanced spheres store OBJECT-space centers; the contour
+        # math reads them as world coordinates. Skip the boundary term
+        # (interior autodiff still flows through the affine) rather than
+        # silently emit gradients for the wrong geometry.
+        pass
+    elif features.has_spheres:
         d_center, d_delta, d_radius = silhouette_grads(
             scene, camera, width, height, grad_img,
             jax.random.fold_in(key, 1), max_depth=max_depth,

@@ -234,3 +234,26 @@ class TestInstancedSceneEndToEnd:
         # [N,3,3] broadcast einsum in sphere_nearest
         np.testing.assert_allclose(np.asarray(t_bvh), np.asarray(rec.t),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestInstancedSilhouette:
+    def test_silhouette_grads_all_skips_instanced_spheres(self):
+        """Instanced spheres store object-space centers; the contour math
+        reads world coordinates, so the boundary term must be skipped
+        (not silently wrong) for them."""
+        import jax
+
+        from pathtrace_tpu.camera import make_camera
+        from pathtrace_tpu.ops.silhouette import silhouette_grads_all
+
+        xf = affine_from_rotation_y_translation(20.0, (0.3, 0.0, -1.0))
+        s = _sphere_scene((0.0, 0.0, 0.0), 0.5, transform=xf)
+        feats = SceneFeatures.from_scene(s)
+        cam = make_camera((0.0, 0.0, 2.0), (0.0, 0.0, -1.0), (0.0, 1.0, 0.0),
+                          60.0, 1.0, 0.0, 1.0)
+        out = silhouette_grads_all(
+            s, cam, 16, 16, jnp.ones((16, 16, 3)) / 768.0,
+            jax.random.PRNGKey(1), max_depth=2, features=feats,
+            n_samples=64,
+        )
+        assert "spheres.center" not in out
