@@ -430,3 +430,18 @@ class TestPlaneLights:
         for lt in self._tables():
             assert lt.color is not None
             assert np.asarray(lt.color).min() > 0.0
+
+
+class TestFastPathMediaNEE:
+    def test_cornell_smoke_unbiased(self):
+        """Media + lights through the fused NEE tail: shadow rays sample
+        free flight through the smoke boxes (transmittance falls out of
+        the occlusion test), isotropic vertices use the 1/4pi phase pdf."""
+        a = np.mean([_render_fast("cornell_smoke", True, s, w=40, h=40,
+                                  spp=8)[0] for s in range(3)], axis=0)
+        b = np.mean([_render_fast("cornell_smoke", False, 50 + s, w=40,
+                                  h=40, spp=8)[0] for s in range(3)], axis=0)
+        assert np.isfinite(a).all()
+        assert abs(float(a.mean()) - float(b.mean())) < 0.04, (
+            a.mean(), b.mean()
+        )
