@@ -182,3 +182,50 @@ class TestHierCulledKernel:
         rd = np.zeros((n, 3), np.float32)
         rd[np.arange(n), axis] = sign
         self._run_pair(ro, jnp.asarray(rd), s_tiles=2)
+
+
+class TestBigSceneHierKernel:
+    def test_hier_bit_identical_big_scene(self):
+        """Hier cull on a synthetic 4096-sphere grid (32 tiles, 16
+        supertiles at s_tiles=2) — the scale the small-preset tests
+        don't reach."""
+        import dataclasses
+
+        from pathtrace_tpu.ops.intersect_pallas import (
+            sphere_nearest_pallas_cols,
+        )
+
+        rng = np.random.default_rng(23)
+        n = 4096
+        g = np.stack(np.meshgrid(np.arange(16), np.arange(16),
+                                 np.arange(16)), -1).reshape(-1, 3)[:n]
+        centers = (g * 2.0 + rng.normal(0, 0.2, (n, 3))).astype(np.float32)
+        scene, _ = presets.small(aspect=1.0)
+        sph = dataclasses.replace(
+            scene.spheres,
+            center=jnp.asarray(centers),
+            center_delta=jnp.zeros((n, 3), jnp.float32),
+            time0=jnp.zeros(n, jnp.float32),
+            inv_time_delta=jnp.zeros(n, jnp.float32),
+            radius=jnp.full(n, 0.6, jnp.float32),
+            mat_id=jnp.zeros(n, jnp.int32),
+            mask=jnp.ones(n, bool),
+        )
+        ro = jnp.asarray(
+            rng.uniform(-4, 36, (4096, 3)).astype(np.float32))
+        rd = rng.normal(size=(4096, 3)).astype(np.float32)
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        rd = jnp.asarray(rd)
+        tm = jnp.zeros(4096)
+
+        def run(cull):
+            return sphere_nearest_pallas_cols(
+                sph, ro[:, 0], ro[:, 1], ro[:, 2],
+                rd[:, 0], rd[:, 1], rd[:, 2], tm,
+                has_motion=False, cull=cull, s_tiles=2,
+            )
+
+        t0, i0 = run(False)
+        t1, i1 = run("hier")
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
