@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--nee", action="store_true",
         help="Next-event estimation: sample lights directly with shadow "
              "rays (unbiased; dramatically less noise on light-driven "
-             "scenes like cornell). Runs on the general integrator",
+             "scenes like cornell). Rides the fast path",
     )
     p.add_argument(
         "--aovs", action="store_true",
